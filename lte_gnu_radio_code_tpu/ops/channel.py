@@ -1,0 +1,87 @@
+"""Channel simulation ops: multipath convolution and AWGN, jittable.
+
+The channel models are the reference's hard-coded normalised CIRs
+(MultiAntennaSystem.py:60-96, TEST/GNU_RADIO_OFFLINE/synch_and_chan_est.py:126-158)
+and its Digital/Analog SNR noise conventions (MultiAntennaSystem.py:235-260).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.params import OFDMConfig
+
+CHANNELS_SISO = {
+    "Ideal": np.array([1.0 + 0j]),
+    "IMT1": np.array([0.0, 1.0 + 0j]),
+    "IMT16": np.array([0.0] * 15 + [1.0 + 0j]),
+    "Fading": np.array([0.3977, 0.7954 - 0.3977j, -0.1988, 0.0994, -0.0398]),
+    "AWGN": np.array([0.0, 1.0 + 0j]),
+}
+
+def channel_taps(name: str, dtype=np.complex64) -> np.ndarray:
+    h = CHANNELS_SISO[name]
+    return (h / np.linalg.norm(h)).astype(dtype)
+
+
+def mimo2_taps(name: str = "Fading", dtype=np.complex64) -> np.ndarray:
+    """[2, 2, 5] unit-normalised 2x2 MIMO CIRs (MultiAntennaSystem.py:69-74)."""
+    h = np.zeros((2, 2, 5), dtype=np.complex128)
+    h[0, 0, :] = [0.3977, 0.7954 - 0.3977j, -0.1988, 0.0994, -0.0398]
+    h[0, 1, :2] = [0.8423j, 0.5391]
+    h[1, 0, :3] = [0.1631, -0.0815 + 0.9784j, 0.0978]
+    h[1, 1, :4] = [0.0572j, 0.3659j, 0.5717 - 0.5717j, 0.4574]
+    if name == "Ideal":
+        h[:] = 0
+        h[:, :, 0] = 1
+    for r in range(2):
+        for t in range(2):
+            h[r, t] /= np.linalg.norm(h[r, t])
+    return h.astype(dtype)
+
+
+def apply_channel(sig: jnp.ndarray, h: jnp.ndarray,
+                  max_impulse: int | None = None) -> jnp.ndarray:
+    """Full linear convolution sig * h, FFT-based (one batched pass on TPU).
+
+    Matches np.convolve(sig, h_padded_to_max_impulse) as the reference does
+    in MultiAntennaSystem.rx_signal_gen:221-231.
+    """
+    taps = h.shape[-1] if max_impulse is None else max_impulse
+    n_out = sig.shape[-1] + taps - 1
+    nfft = int(2 ** np.ceil(np.log2(max(n_out, 2))))
+    s = jnp.fft.fft(sig, nfft)
+    hh = jnp.fft.fft(h, nfft)
+    y = jnp.fft.ifft(s * hh, nfft)[: n_out]
+    return y.astype(jnp.complex64)
+
+
+def apply_channel_mimo(sig: jnp.ndarray, h: jnp.ndarray,
+                       max_impulse: int | None = None) -> jnp.ndarray:
+    """[n_tx, T] x [n_rx, n_tx, taps] -> [n_rx, T+taps-1] summed over TX."""
+    taps = h.shape[-1] if max_impulse is None else max_impulse
+    n_out = sig.shape[-1] + taps - 1
+    nfft = int(2 ** np.ceil(np.log2(max(n_out, 2))))
+    s = jnp.fft.fft(sig, nfft, axis=-1)                      # [n_tx, F]
+    hh = jnp.fft.fft(h, nfft, axis=-1)                       # [n_rx, n_tx, F]
+    y = jnp.fft.ifft(jnp.einsum("tf,rtf->rf", s, hh), nfft, axis=-1)
+    return y[:, :n_out].astype(jnp.complex64)
+
+
+def noise_variance(cfg: OFDMConfig, sig_pow) -> jnp.ndarray:
+    """Digital/Analog SNR -> complex noise variance (MultiAntennaSystem.py:243-246)."""
+    if cfg.snr_type == "Digital":
+        bits_per_symb = cfg.num_data_bins * cfg.bits_per_bin
+        return (1.0 / bits_per_symb) * cfg.rx_b_len * sig_pow * 10 ** (-cfg.snr_db / 10)
+    return sig_pow * 10 ** (-cfg.snr_db / 10)
+
+
+def awgn(cfg: OFDMConfig, rx: jnp.ndarray, key: jax.Array,
+         sig_pow) -> jnp.ndarray:
+    nv = noise_variance(cfg, sig_pow)
+    kr, ki = jax.random.split(key)
+    n = (jax.random.normal(kr, rx.shape) + 1j * jax.random.normal(ki, rx.shape))
+    return rx + jnp.sqrt(nv / 2.0).astype(jnp.float32) * n.astype(jnp.complex64)

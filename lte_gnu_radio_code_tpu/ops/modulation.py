@@ -1,0 +1,145 @@
+"""Bit <-> symbol mapping and soft demapping, jittable and batched.
+
+QPSK uses the reference's pi/8-offset constellation exp(j*2*pi/8*{1,-1,3,5})
+with MSB-first bit pairs (MultiAntennaSystem.py:159-178) and the quadrant-wise
+LLR demap of BitRecovery.py:66-157.  16/64-QAM are the Gray-mapped square
+constellations required by BASELINE.json configs 2-4 (the reference itself is
+BPSK/QPSK-only); LLRs are max-log.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+QPSK_POINTS = np.exp(1j * 2.0 * np.pi / 8.0 *
+                     np.array([1.0, -1.0, 3.0, 5.0])).astype(np.complex64)
+
+_SQRT2 = 1.414213562373095
+
+
+def _gray_qam_constellation(bits_per_axis: int) -> np.ndarray:
+    """Gray-mapped PAM levels per axis, unit average power per complex symbol."""
+    m = 1 << bits_per_axis
+    # Gray code ordering of levels: level index g for bit pattern b
+    levels = np.arange(m)
+    gray = levels ^ (levels >> 1)
+    # position of each gray codeword on the amplitude axis
+    pos = np.empty(m, dtype=np.int64)
+    pos[gray] = levels
+    amp = 2 * pos - (m - 1)
+    scale = np.sqrt(2.0 * (m * m - 1) / 3.0)
+    return (amp / scale).astype(np.float32)
+
+
+QAM16_PAM = _gray_qam_constellation(2)   # indexed by 2-bit pattern
+QAM64_PAM = _gray_qam_constellation(3)   # indexed by 3-bit pattern
+
+BITS_PER_SYMBOL = {"BPSK": 1, "QPSK": 2, "QAM16": 4, "QAM64": 6}
+
+
+def bits_to_symbols(bits: jnp.ndarray, modulation: str) -> jnp.ndarray:
+    """[n*bits_per_symbol] bits -> [n] complex64 constellation points."""
+    if modulation == "BPSK":
+        return (2.0 * bits - 1.0).astype(jnp.complex64)
+    if modulation == "QPSK":
+        b = bits.reshape(-1, 2)
+        dec = 2 * b[:, 0] + b[:, 1]
+        return jnp.asarray(QPSK_POINTS)[dec]
+    if modulation in ("QAM16", "QAM64"):
+        k = BITS_PER_SYMBOL[modulation] // 2
+        pam = jnp.asarray(QAM16_PAM if modulation == "QAM16" else QAM64_PAM)
+        b = bits.reshape(-1, 2 * k)
+        w = 2 ** jnp.arange(k - 1, -1, -1)
+        i_idx = (b[:, :k] * w).sum(-1)
+        q_idx = (b[:, k:] * w).sum(-1)
+        return (pam[i_idx] + 1j * pam[q_idx]).astype(jnp.complex64)
+    raise ValueError(modulation)
+
+
+# ---------------------------------------------------------------------------
+# QPSK reference-style LLR demap (BitRecovery.py)
+# ---------------------------------------------------------------------------
+
+
+def qpsk_llr(phasors: jnp.ndarray):
+    """Reference LLR demap.  Returns (hard_bits [2n], llr0, llr1).
+
+    Index 2k is the real-rail (MSB) bit of symbol k, 2k+1 the imag rail,
+    exactly as BitRecovery.py:105-157 lays them out.
+    """
+    d = phasors.reshape(-1)
+    pts = jnp.asarray(QPSK_POINTS)
+    z = d[:, None] - pts[None, :]
+    az = jnp.abs(z)
+    dmin_ind = jnp.argmin(az, axis=1)
+    dmin = jnp.min(az, axis=1)
+    ez = d - pts[dmin_ind]
+
+    sigma = 0.7071067811865476 * jnp.mean(dmin)
+    dfact = 1.0 / (sigma * sigma)
+    er, ei = jnp.abs(ez.real), jnp.abs(ez.imag)
+    near_r, far_r = -0.5 * dfact * er, -0.5 * dfact * (_SQRT2 - er)
+    near_i, far_i = -0.5 * dfact * ei, -0.5 * dfact * (_SQRT2 - ei)
+    re_pos, im_pos = d.real >= 0, d.imag >= 0
+
+    llr0 = jnp.stack([jnp.where(re_pos, near_r, far_r),
+                      jnp.where(im_pos, near_i, far_i)], axis=1).reshape(-1)
+    llr1 = jnp.stack([jnp.where(re_pos, far_r, near_r),
+                      jnp.where(im_pos, far_i, near_i)], axis=1).reshape(-1)
+    hard = (0.5 * (jnp.sign(llr1 - llr0) + 1.0)).astype(jnp.int32)
+    return hard, llr0, llr1
+
+
+# ---------------------------------------------------------------------------
+# Generic max-log demap (QAM16/64 + hard decisions for all modulations)
+# ---------------------------------------------------------------------------
+
+
+def _constellation_table(modulation: str) -> tuple[np.ndarray, np.ndarray]:
+    """(points [M], bit table [M, bps]) for a modulation."""
+    bps = BITS_PER_SYMBOL[modulation]
+    m = 1 << bps
+    idx = np.arange(m)
+    bit_tbl = ((idx[:, None] >> np.arange(bps - 1, -1, -1)) & 1).astype(np.int32)
+    pts = np.zeros(m, dtype=np.complex64)
+    for i in range(m):
+        # route through bits_to_symbols for a single symbol (numpy-side)
+        b = bit_tbl[i].astype(np.float32)
+        if modulation == "BPSK":
+            pts[i] = 2 * b[0] - 1
+        elif modulation == "QPSK":
+            pts[i] = QPSK_POINTS[int(2 * b[0] + b[1])]
+        else:
+            k = bps // 2
+            pam = QAM16_PAM if modulation == "QAM16" else QAM64_PAM
+            w = 2 ** np.arange(k - 1, -1, -1)
+            pts[i] = pam[int((b[:k] * w).sum())] + 1j * pam[int((b[k:] * w).sum())]
+    return pts, bit_tbl
+
+
+def maxlog_llr(phasors: jnp.ndarray, modulation: str, noise_var: float | jnp.ndarray):
+    """Max-log LLRs for any supported modulation.
+
+    Returns (hard_bits [n*bps], llr [n*bps]) with llr>0 meaning bit=1 —
+    the modern convention; `qpsk_llr` keeps the reference's split llr0/llr1.
+    """
+    pts_np, bit_np = _constellation_table(modulation)
+    pts = jnp.asarray(pts_np)
+    bit_tbl = jnp.asarray(bit_np)
+    bps = bit_np.shape[1]
+
+    d = phasors.reshape(-1)
+    dist = jnp.abs(d[:, None] - pts[None, :]) ** 2        # [n, M]
+    big = jnp.asarray(1e30, dist.dtype)
+    llrs = []
+    for b in range(bps):
+        is1 = bit_tbl[:, b] == 1
+        d1 = jnp.min(jnp.where(is1[None, :], dist, big), axis=1)
+        d0 = jnp.min(jnp.where(is1[None, :], big, dist), axis=1)
+        llrs.append((d0 - d1) / noise_var)
+    llr = jnp.stack(llrs, axis=1).reshape(-1)
+    hard = (llr > 0).astype(jnp.int32)
+    return hard, llr

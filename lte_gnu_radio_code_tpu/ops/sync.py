@@ -1,0 +1,194 @@
+"""Synchronisation, channel estimation and MMSE equalisation — TPU-first.
+
+The reference's hottest loop (gr-RXOFDM/python/synch_and_chan_est.py:140-221)
+slides a window sample-by-sample and, per trial, materialises O(L^2) `np.diag`
+matmuls.  Here the whole search is re-expressed as three batched primitives:
+
+  1. `sync_spectra`   — gather ALL trial windows at once -> one batched FFT
+  2. `sync_correlate` — one [n_trials, L] x [L, cp+1] complex matmul (MXU)
+  3. `first_lock` / `detect_all` — vectorised gate + refractory selection
+
+This is mathematically identical to the reference (each diag-matmul is an
+elementwise product) but maps the work onto the MXU/VPU instead of a Python
+interpreter loop.  Complexity per frame: one FFT batch of n_trials*m_synch
+64..2048-pt FFTs plus one dense matmul — both trivially large-batch on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.params import OFDMConfig, used_bins
+from .zadoff_chu import delay_search_matrix, zc_for_config
+
+Precision = lax.Precision
+
+
+def n_trials_for(cfg: OFDMConfig, n_samples: int) -> int:
+    """Number of stride-spaced sync trials that fit in an n_samples buffer.
+
+    Mirrors the work() window-fit check (synch_and_chan_est.py:144-147):
+    window needs m0*(nfft+cp) + nfft + start_samp samples beyond the trial
+    offset.
+    """
+    need = cfg.m_synch * cfg.rx_b_len + cfg.nfft + cfg.cp_len
+    return max(0, (n_samples - need - 1) // cfg.stride + 1)
+
+
+def sync_spectra(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int) -> jnp.ndarray:
+    """Power-normalised synch-bin spectra for every trial offset.
+
+    x: [n_samples] complex. Returns S [n_trials, m_synch*num_synch_bins].
+    Trial p reads m_synch CP-skipped windows starting at
+    cp_len + p*stride + l*(nfft+cp) (synch_and_chan_est.py:148-151), FFTs each
+    and gathers the synch bins, then normalises the concatenated vector to
+    unit average power (:159-163).
+    """
+    _, synch_bins = used_bins(cfg.nfft, cfg.num_synch_bins)
+    starts = cfg.cp_len + cfg.stride * np.arange(n_trials)
+    offs = (np.arange(cfg.m_synch) * cfg.rx_b_len)[:, None] + np.arange(cfg.nfft)[None, :]
+    idx = starts[:, None, None] + offs[None, :, :]          # [p, m, nfft]
+    win = x[idx]                                            # gather
+    f = jnp.fft.fft(win, cfg.nfft, axis=-1)                 # batched FFT
+    s = f[..., np.asarray(synch_bins)]                      # [p, m, L]
+    s = s.reshape(n_trials, -1)
+    power = jnp.sum(jnp.abs(s) ** 2, axis=-1, keepdims=True)
+    return s * jnp.sqrt(s.shape[-1] / power)
+
+
+def sync_correlate(cfg: OFDMConfig, spectra: jnp.ndarray) -> jnp.ndarray:
+    """Delay-hypothesis correlation |del_mat| for all trials at once.
+
+    corr[p, d] = sum_k exp(+j2pi d b_k/N) * S[p,k] * conj(ZC[k])
+    (synch_and_chan_est.py:164-165, the del_mat product).  One complex matmul.
+    """
+    zc = jnp.asarray(zc_for_config(cfg))
+    dse = jnp.asarray(delay_search_matrix(cfg))             # [cp+1, L]
+    prod = spectra * jnp.conj(zc)[None, :]                  # [p, L]
+    corr = jnp.einsum("pl,dl->pd", prod, dse,
+                      precision=Precision.HIGHEST)
+    return corr
+
+
+def first_lock(cfg: OFDMConfig, corr_abs: jnp.ndarray):
+    """First trial whose correlation peak crosses the gate (single lock).
+
+    Replicates the offline/utsa single-lock semantics
+    (TEST/GNU_RADIO_OFFLINE/synch_and_chan_est.py:195-253 with `break`).
+    Returns (ptr, delay_idx, peak, found) — all scalars, fully on-device.
+    """
+    dmax_val = jnp.max(corr_abs, axis=-1)                   # [p]
+    dmax_ind = jnp.argmax(corr_abs, axis=-1)                # [p]
+    gate = cfg.detection_gate * cfg.m_synch * cfg.num_synch_bins
+    mask = dmax_val > gate
+    found = jnp.any(mask)
+    first = jnp.argmax(mask)                                # first True (0 if none)
+    ptr = cfg.cp_len + cfg.stride * first
+    return ptr, dmax_ind[first], dmax_val[first], found, first
+
+
+def detect_all(cfg: OFDMConfig, corr_abs: jnp.ndarray, max_det: int):
+    """All gate crossings with the refractory rule, fixed [max_det] output.
+
+    Replicates gr-RXOFDM's multi-detection table (synch_and_chan_est.py:167-179):
+    accept a crossing iff ptr - last_accepted_ptr > 2*cp + nfft or it is the
+    first.  Sequential dependence handled by a lax.scan over trials with a
+    trivial carry; emission into fixed slots via cumulative detection count.
+
+    Returns (ptrs [max_det], delays [max_det], peaks [max_det], count).
+    """
+    dmax_val = jnp.max(corr_abs, axis=-1)
+    dmax_ind = jnp.argmax(corr_abs, axis=-1)
+    gate = cfg.detection_gate * cfg.m_synch * cfg.num_synch_bins
+    crossing = dmax_val > gate
+    n = corr_abs.shape[0]
+    ptrs = cfg.cp_len + cfg.stride * jnp.arange(n)
+    refractory = 2 * cfg.cp_len + cfg.nfft
+
+    def body(carry, inp):
+        last_ptr, any_yet = carry
+        cross, ptr = inp
+        ok = cross & ((ptr - last_ptr > refractory) | ~any_yet)
+        last_ptr = jnp.where(ok, ptr, last_ptr)
+        any_yet = any_yet | ok
+        return (last_ptr, any_yet), ok
+
+    (_, _), accepted = lax.scan(
+        body, (jnp.int32(0), jnp.bool_(False)),
+        (crossing, ptrs.astype(jnp.int32)))
+
+    slot = jnp.cumsum(accepted.astype(jnp.int32)) - 1       # slot per trial
+    count = jnp.sum(accepted.astype(jnp.int32))
+    out_ptr = jnp.zeros(max_det, jnp.int32)
+    out_del = jnp.zeros(max_det, jnp.int32)
+    out_peak = jnp.zeros(max_det, jnp.float32)
+    valid = accepted & (slot < max_det)
+    tgt = jnp.where(valid, slot, max_det)                   # drop-overflow slot
+    out_ptr = out_ptr.at[tgt].set(ptrs.astype(jnp.int32), mode="drop")
+    out_del = out_del.at[tgt].set(dmax_ind.astype(jnp.int32), mode="drop")
+    out_peak = out_peak.at[tgt].set(dmax_val.astype(jnp.float32), mode="drop")
+    return out_ptr, out_del, out_peak, count
+
+
+def estimate_channel(cfg: OFDMConfig, spectrum: jnp.ndarray, delay_idx):
+    """ZC-correlation channel estimate from one locked synch spectrum.
+
+    spectrum: [m_synch*L] power-normalised synch bins at the lock trial.
+    Returns (chan_est_bins [L], chan_est_full [nfft], chan_est_time [nfft]).
+    (synch_and_chan_est.py:181-204.)
+    """
+    _, synch_bins = used_bins(cfg.nfft, cfg.num_synch_bins)
+    zc = jnp.asarray(zc_for_config(cfg))
+    dse = jnp.asarray(delay_search_matrix(cfg))
+    snr_lin = cfg.snr_linear
+
+    data_recov = dse[delay_idx] * spectrum                  # de-rotate winning delay
+    tmp = (data_recov * jnp.conj(zc)) / (1.0 / snr_lin + 1.0)
+    chan_est = jnp.mean(tmp.reshape(cfg.m_synch, cfg.num_synch_bins), axis=0)
+    full = jnp.zeros(cfg.nfft, jnp.complex64).at[np.asarray(synch_bins)].set(chan_est)
+    cir = jnp.fft.ifft(full, cfg.nfft)
+    return chan_est, full, cir
+
+
+def mmse_gain(chan: jnp.ndarray, snr_lin: float) -> jnp.ndarray:
+    """One-tap MMSE gain conj(H)/(|H|^2 + 1/SNR) (synch_and_chan_est.py:216-219)."""
+    return jnp.conj(chan) / (1.0 / snr_lin + jnp.abs(chan) ** 2)
+
+
+def equalize_data_symbols(cfg: OFDMConfig, x: jnp.ndarray, lock_ptr,
+                          delay_idx, chan_full: jnp.ndarray,
+                          num_patterns: int) -> jnp.ndarray:
+    """FFT + power-norm + timing derotation + MMSE EQ for every data symbol.
+
+    Batched replacement for the stage-B loop
+    (TEST/GNU_RADIO_OFFLINE/synch_and_chan_est.py:258-284): pattern block k
+    holds data symbols at lock + (m_synch + j)*(nfft+cp) + k*pattern*(nfft+cp).
+    Returns phasors [num_patterns*n_data, num_data_bins].
+    """
+    _, data_bins = used_bins(cfg.nfft, cfg.num_data_bins)
+    data_bins = np.asarray(data_bins)
+    m0, nd = cfg.m_synch, cfg.synch_dat[1]
+    block = cfg.pattern_len * cfg.rx_b_len
+
+    k = jnp.arange(num_patterns)[:, None]                   # pattern index
+    j = jnp.arange(nd)[None, :]                             # data symbol in block
+    start = lock_ptr + k * block + (m0 + j) * cfg.rx_b_len  # [k, j]
+    idx = start[..., None] + jnp.arange(cfg.nfft)[None, None, :]
+    win = x[idx]                                            # [k, j, nfft]
+    f = jnp.fft.fft(win, cfg.nfft, axis=-1)
+    fd = f[..., data_bins]                                  # [k, j, B]
+    power = jnp.sum(jnp.abs(fd) ** 2, axis=-1, keepdims=True)
+    fd = fd * jnp.sqrt(fd.shape[-1] / power)
+
+    rot = jnp.exp((1j * 2.0 * jnp.pi / cfg.nfft) * delay_idx *
+                  jnp.asarray(data_bins, jnp.float32)).astype(jnp.complex64)
+    chan_d = chan_full[data_bins]
+    eq = mmse_gain(chan_d, cfg.snr_linear)
+    out = fd * rot[None, None, :] * eq[None, None, :]
+    return out.reshape(num_patterns * nd, cfg.num_data_bins)

@@ -1,14 +1,21 @@
 """Test configuration: force an 8-device virtual CPU mesh so multi-chip
 sharding tests run anywhere (the driver validates real-TPU paths separately).
-Must run before jax initialises its backends."""
+
+The axon site hook re-registers the TPU backend and overrides JAX_PLATFORMS,
+so the env var alone is not enough — we must also flip the jax config flag
+before any backend is initialised."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
