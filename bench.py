@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark: full TX -> multipath channel -> AWGN -> RX chain throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Msamples/s/chip", "vs_baseline": N}
+
+Baseline: the CPU reference oracle (reference_cpu/golden.py, a literal NumPy
+replication of the reference signal chain) measured on this machine at
+1.01 Msamples/s/core for the canonical ofdm_chain loopback config (NFFT 64,
+CP 16, QPSK, Fading channel, SNR 100 — BASELINE.md).  The reference system's
+own design rate for this config is 0.96 Msps (SystemModel.py:37).
+
+TPU notes: the axon tunnel supports complex compute but NOT complex
+host<->device transfers, so the bench transfers only real tensors; all IQ
+stays device-resident (exactly how the real pipeline should run anyway).
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from lte_gnu_radio_code_tpu.models import chain, rxofdm, txofdm
+from lte_gnu_radio_code_tpu.ops import channel as chan_ops
+from lte_gnu_radio_code_tpu.utils.params import GOLDEN64
+
+BASELINE_MSPS = 1.01  # CPU reference oracle, measured (BASELINE.md)
+
+
+def bench_step(cfg, h, n_trials, num_patterns, bits, seed):
+    """One frame end-to-end; returns only real scalars (transfer-safe)."""
+    key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+    tx = txofdm.tx_frame(cfg, bits)
+    rx_clean = chan_ops.apply_channel(tx, h, max_impulse=cfg.nfft)
+    sig_pow = jnp.mean(jnp.abs(tx - jnp.mean(tx)) ** 2)
+    rx = chan_ops.awgn(cfg, rx_clean, key, sig_pow)
+    r = rxofdm.rx_frame(cfg, rx, n_trials, num_patterns)
+    nb = min(r.hard_bits.shape[0], bits.shape[0])
+    ber = jnp.mean((r.hard_bits[:nb] != bits[:nb]).astype(jnp.float32))
+    return ber, r.found.astype(jnp.int32)
+
+
+def main():
+    cfg = GOLDEN64
+    n_samples = cfg.frame_len + cfg.nfft - 1
+    n_trials, num_patterns = rxofdm.plan_rx(cfg, n_samples)
+    # keep h as a NumPy constant: it is baked into the jitted program at
+    # trace time (eager complex device_put is unsupported on the tunnel)
+    h = chan_ops.channel_taps("Fading")
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    step = jax.jit(jax.vmap(functools.partial(
+        bench_step, cfg, h, n_trials, num_patterns)))
+
+    rng = np.random.default_rng(0)
+    # dtype conversion on host: the axon tunnel lacks int64 transfer/convert
+    bits = jnp.asarray(rng.integers(0, 2, (batch, cfg.num_bits), dtype=np.int32))
+    seeds = jnp.arange(batch, dtype=jnp.int32)
+
+    # compile + warmup
+    ber, found = jax.block_until_ready(step(bits, seeds))
+    assert int(found.sum()) == batch, "sync lock failed in bench warmup"
+    assert float(np.asarray(ber).max()) == 0.0, "nonzero BER in bench warmup"
+
+    iters, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < 3.0 or iters < 3:
+        jax.block_until_ready(step(bits, seeds))
+        iters += 1
+    dt = (time.perf_counter() - t0) / iters
+
+    msps = batch * n_samples / dt / 1e6
+    print(json.dumps({
+        "metric": "full TX->fading->AWGN->RX chain throughput "
+                  "(ofdm_chain loopback config, NFFT 64, QPSK)",
+        "value": round(msps, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / BASELINE_MSPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

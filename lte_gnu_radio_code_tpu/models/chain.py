@@ -47,8 +47,10 @@ def make_chain(cfg: OFDMConfig):
     """Jitted full loopback for the config's canonical frame length."""
     n_samples = cfg.frame_len + cfg.nfft - 1                # + channel tail
     n_trials, num_patterns = rxofdm.plan_rx(cfg, n_samples)
-    h = jnp.asarray(chan_ops.channel_taps(
-        cfg.channel if cfg.channel != "AWGN" else "Ideal"))
+    # NumPy constant: baked into the jitted program at trace time (the axon
+    # TPU tunnel does not implement eager complex host->device transfers)
+    h = chan_ops.channel_taps(
+        cfg.channel if cfg.channel != "AWGN" else "Ideal")
     return jax.jit(functools.partial(
         chain_step, cfg, h=h, n_trials=n_trials, num_patterns=num_patterns))
 
