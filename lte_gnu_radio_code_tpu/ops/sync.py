@@ -136,6 +136,47 @@ def detect_all(cfg: OFDMConfig, corr_abs: jnp.ndarray, max_det: int):
     return out_ptr, out_del, out_peak, count
 
 
+def refractory_detect(cfg: OFDMConfig, dmax_val: jnp.ndarray,
+                      extras: tuple, max_det: int):
+    """Gate + refractory selection over per-trial peaks, generic payload.
+
+    dmax_val: [p] peak magnitude per trial (already maxed over delay/fo/...).
+    extras: tuple of [p]-shaped arrays to emit alongside each detection.
+    Implements the multi-detection rule of gr-RXOFDM
+    (synch_and_chan_est.py:167-179): accept a crossing iff
+    ptr - last_accepted_ptr > 2*cp + nfft, or it is the first.
+
+    Returns (ptrs [max_det] i32, extras_out tuple of [max_det], count).
+    """
+    gate = cfg.detection_gate * cfg.m_synch * cfg.num_synch_bins
+    crossing = dmax_val > gate
+    n = dmax_val.shape[0]
+    ptrs = (cfg.cp_len + cfg.stride * jnp.arange(n)).astype(jnp.int32)
+    refractory = 2 * cfg.cp_len + cfg.nfft
+
+    def body(carry, inp):
+        last_ptr, any_yet = carry
+        cross, ptr = inp
+        ok = cross & ((ptr - last_ptr > refractory) | ~any_yet)
+        return (jnp.where(ok, ptr, last_ptr), any_yet | ok), ok
+
+    (_, _), accepted = lax.scan(
+        body, (jnp.int32(0), jnp.bool_(False)), (crossing, ptrs))
+
+    slot = jnp.cumsum(accepted.astype(jnp.int32)) - 1
+    count = jnp.minimum(jnp.sum(accepted.astype(jnp.int32)), max_det)
+    valid = accepted & (slot < max_det)
+    tgt = jnp.where(valid, slot, max_det)
+
+    def emit(src, fill_dtype):
+        out = jnp.zeros(max_det, fill_dtype)
+        return out.at[tgt].set(src.astype(fill_dtype), mode="drop")
+
+    out_ptr = emit(ptrs, jnp.int32)
+    outs = tuple(emit(e, e.dtype) for e in extras)
+    return out_ptr, outs, count
+
+
 def estimate_channel(cfg: OFDMConfig, spectrum: jnp.ndarray, delay_idx):
     """ZC-correlation channel estimate from one locked synch spectrum.
 
