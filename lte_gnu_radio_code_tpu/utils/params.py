@@ -247,6 +247,89 @@ PLS_PROFILES = {
 }
 
 
+@dataclasses.dataclass(frozen=True)
+class PLSConfig:
+    """Physical-layer-security (MIMO key exchange) parameters.
+
+    Mirrors TEST/GNU_RADIO_OFFLINE/PLSParameters.py:5-103 and the embedded
+    profile of pls_aio.py:20-61.  Note the PLS chain uses a *different* bin
+    layout from the OFDM chains: bins sit around the FFT-vector index
+    ``nfft/2`` (pls_aio.py:44-52), not around DC index 0.
+    """
+
+    bandwidth: float = 960e3
+    bin_spacing: float = 15e3
+    num_ant: int = 2
+    bit_codebook: int = 1              # bits per codebook index
+    synch_data_pattern: Tuple[int, int] = (2, 1)
+    pvt_info_len: int = 8              # secret key length in bits
+    num_data_bins: int = 4
+    zc_primes: Tuple[int, ...] = (23, 41)   # per-synch-symbol alternation
+
+    @property
+    def nfft(self) -> int:
+        return int(self.bandwidth // self.bin_spacing)
+
+    @property
+    def cp_len(self) -> int:
+        return int(0.25 * self.nfft)
+
+    @property
+    def symb_len(self) -> int:
+        return self.nfft + self.cp_len
+
+    @property
+    def num_synch_bins(self) -> int:
+        return self.nfft - 2
+
+    @property
+    def subband_size(self) -> int:
+        return self.num_ant
+
+    @property
+    def num_subbands(self) -> int:
+        return self.num_data_bins // self.subband_size
+
+    @property
+    def key_len(self) -> int:
+        return self.num_subbands * self.bit_codebook
+
+    @property
+    def num_data_symb(self) -> int:
+        # pls_aio.py:63 (with log2(len(codebook)) == bit_codebook)
+        return int(math.ceil(self.pvt_info_len /
+                             (self.num_subbands * self.bit_codebook)))
+
+    @property
+    def num_synch_symb(self) -> int:
+        return self.synch_data_pattern[0] * self.num_data_symb
+
+    @property
+    def total_num_symb(self) -> int:
+        return self.num_synch_symb + self.num_data_symb
+
+    @property
+    def frame_len(self) -> int:
+        return self.total_num_symb * self.symb_len
+
+    def used_data_bins(self) -> Tuple[int, ...]:
+        """Bins around FFT index nfft/2, DC-index excluded (pls_aio.py:44-48)."""
+        dc = self.nfft // 2
+        neg = list(range(dc - self.num_data_bins // 2, dc))
+        pos = list(range(dc + 1, dc + self.num_data_bins // 2 + 1))
+        return tuple(neg + pos)
+
+    def used_synch_bins(self) -> Tuple[int, ...]:
+        dc = self.nfft // 2
+        neg = list(range(dc - self.num_synch_bins // 2, dc))
+        pos = list(range(dc + 1, dc + self.num_synch_bins // 2 + 1))
+        return tuple(neg + pos)
+
+    def symbol_pattern(self) -> Tuple[int, ...]:
+        base = (0,) * self.synch_data_pattern[0] + (1,) * self.synch_data_pattern[1]
+        return base * self.num_data_symb
+
+
 def _case(num_ofdm_symb, fs, nfft, synch_dat, num_data_bins, dsss=1):
     return {
         "num_ofdm_symb": num_ofdm_symb, "fs": fs, "nfft": nfft,

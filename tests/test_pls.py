@@ -1,0 +1,116 @@
+"""PLS MIMO key-exchange suite (P1/P2): ops vs oracle, full protocol."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lte_gnu_radio_code_tpu.models import pls as M
+from lte_gnu_radio_code_tpu.ops import pls as O
+from lte_gnu_radio_code_tpu.reference_cpu import pls as P
+from lte_gnu_radio_code_tpu.utils.params import PLSConfig
+
+CFG = PLSConfig()
+KEY = np.array([0, 0, 0, 1, 1, 0, 1, 1])
+
+
+def _sym_channel(seed=3, taps=1):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((2, 2, taps)) + 1j * rng.standard_normal((2, 2, taps))
+    a[1, 0] = a[0, 1]
+    return a
+
+
+def test_svd2x2_matches_numpy_phase_normalised():
+    rng = np.random.default_rng(0)
+    a = (rng.standard_normal((32, 2, 2)) +
+         1j * rng.standard_normal((32, 2, 2))).astype(np.complex64)
+    u, s, v = O.svd2x2(jnp.asarray(a))
+    u, s, v = np.asarray(u), np.asarray(s), np.asarray(v)
+    for i in range(32):
+        un, sn, vhn = np.linalg.svd(a[i])
+        vn = np.conj(vhn).T
+        un = un @ np.diag(np.exp(-1j * np.angle(un[0, :])))
+        vn = vn @ np.diag(np.exp(-1j * np.angle(vn[0, :])))
+        np.testing.assert_allclose(s[i], sn, rtol=2e-4)
+        np.testing.assert_allclose(u[i], un, atol=2e-4)
+        np.testing.assert_allclose(v[i], vn, atol=2e-4)
+    # reconstruction
+    rec = u @ (s[..., None] * np.conj(np.swapaxes(v, -1, -2)))
+    # phase-normalised factors still reconstruct a up to the phase pairing
+    for i in range(32):
+        np.testing.assert_allclose(
+            np.abs(np.linalg.svd(rec[i], compute_uv=False)),
+            np.linalg.svd(a[i], compute_uv=False), rtol=2e-4)
+
+
+def test_codebook_and_precoder_mapping_match_oracle():
+    cb_o = P.codebook(CFG)
+    f_o = P.bits_to_precoders(CFG, KEY)
+    f_j = np.asarray(O.bits_to_precoders(CFG, jnp.asarray(KEY)))
+    np.testing.assert_allclose(f_j, f_o, atol=1e-6)
+    pmi, bits = O.pmi_estimate(CFG, jnp.asarray(f_o.astype(np.complex64)))
+    np.testing.assert_array_equal(np.asarray(bits), KEY)
+
+
+def test_transmit_matches_oracle():
+    rng = np.random.default_rng(1)
+    ua = P.unitary_gen(CFG, rng)
+    ref = P.ref_signal(CFG)
+    tx_o = P.transmit(CFG, ua, ref)
+    tx_j = np.asarray(O.transmit(CFG, jnp.asarray(ua.astype(np.complex64)),
+                                 ref))
+    np.testing.assert_allclose(tx_j, tx_o, atol=1e-5)
+
+
+def test_receive_matches_oracle():
+    rng = np.random.default_rng(2)
+    ua = P.unitary_gen(CFG, rng)
+    ref = P.ref_signal(CFG)
+    tx = P.transmit(CFG, ua, ref)
+    rx = P.mimo_channel(CFG, tx, _sym_channel())[:, :CFG.frame_len]
+    lsv_o, _, _ = P.receive(CFG, rx, ref)
+    lsv_j, _, rsv_j, _ = O.receive(CFG, jnp.asarray(rx, jnp.complex64), ref)
+    np.testing.assert_allclose(np.asarray(lsv_j), lsv_o, atol=1e-3)
+
+
+@pytest.mark.parametrize("chan", ["ones", "sym_flat", "asym_flat", "sym_disp"])
+def test_full_key_exchange_zero_errors(chan):
+    h = {"ones": None,
+         "sym_flat": _sym_channel(),
+         "asym_flat": np.random.default_rng(5).standard_normal((2, 2, 1))
+         + 1j * np.random.default_rng(6).standard_normal((2, 2, 1)),
+         "sym_disp": _sym_channel(7, taps=3)}[chan]
+    bits, err = M.key_exchange(CFG, jnp.asarray(KEY), jax.random.PRNGKey(0),
+                               h=h)
+    assert int(err) == 0
+    np.testing.assert_array_equal(np.asarray(bits), KEY)
+
+
+def test_key_exchange_with_noise():
+    # the per-pair unit-normalised 1-tap channel (topblock.py:63) is a
+    # phases-only matrix whose singular values are nearly equal (~0.2 %
+    # apart), so the SVD basis — and hence PMI — is noise-limited: the
+    # protocol needs noise well below the sigma gap.  60 dB satisfies that;
+    # moderate SNR genuinely breaks this reference protocol on such channels.
+    bits, err = M.key_exchange(CFG, jnp.asarray(KEY), jax.random.PRNGKey(1),
+                               h=_sym_channel(), snr_db=60.0)
+    assert int(err) == 0
+
+
+def test_key_exchange_matches_oracle_protocol():
+    """Same channel, independent unitaries: both recover the same key."""
+    h = _sym_channel(9)
+    bits_o, err_o = P.key_exchange(CFG, KEY, np.random.default_rng(4), h=h)
+    bits_j, err_j = M.key_exchange(CFG, jnp.asarray(KEY),
+                                   jax.random.PRNGKey(2), h=h)
+    assert err_o == 0 and int(err_j) == 0
+    np.testing.assert_array_equal(np.asarray(bits_j), bits_o)
+
+
+def test_longer_key():
+    cfg = PLSConfig(pvt_info_len=16)
+    key = np.random.default_rng(11).integers(0, 2, 16, dtype=np.int32)
+    bits, err = M.key_exchange(cfg, jnp.asarray(key), jax.random.PRNGKey(3),
+                               h=_sym_channel(12))
+    assert int(err) == 0
