@@ -64,16 +64,24 @@ def main():
     bits = jnp.asarray(rng.integers(0, 2, (batch, cfg.num_bits), dtype=np.int32))
     seeds = jnp.arange(batch, dtype=jnp.int32)
 
-    # compile + warmup
+    # Compile + warm.  IMPORTANT: no host<->device transfer and no other
+    # executable may run before/during the timed loop — on the axon tunnel a
+    # single D2H copy (or any second program) permanently switches dispatch
+    # into a ~43 ms/call slow path, under-reporting throughput ~500x.  All
+    # verification happens AFTER timing.
     ber, found = jax.block_until_ready(step(bits, seeds))
-    assert int(found.sum()) == batch, "sync lock failed in bench warmup"
-    assert float(np.asarray(ber).max()) == 0.0, "nonzero BER in bench warmup"
+    for _ in range(5):
+        jax.block_until_ready(step(bits, seeds))
 
     iters, t0 = 0, time.perf_counter()
     while time.perf_counter() - t0 < 3.0 or iters < 3:
         jax.block_until_ready(step(bits, seeds))
         iters += 1
     dt = (time.perf_counter() - t0) / iters
+
+    # correctness (host numpy only — after the timed region)
+    assert np.asarray(found).sum() == batch, "sync lock failed in bench"
+    assert np.asarray(ber).max() == 0.0, "nonzero BER in bench"
 
     msps = batch * n_samples / dt / 1e6
     print(json.dumps({

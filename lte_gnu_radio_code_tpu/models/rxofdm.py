@@ -35,12 +35,51 @@ class RxResult(NamedTuple):
 
 
 def rx_frame(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
-             num_patterns: int) -> RxResult:
-    """Demodulate a buffer of samples.  n_trials/num_patterns are static."""
-    spectra = sync.sync_spectra(cfg, x, n_trials)
-    corr = jnp.abs(sync.sync_correlate(cfg, spectra))
-    ptr, delay_idx, peak, found, first = sync.first_lock(cfg, corr)
-    _, chan_full, cir = sync.estimate_channel(cfg, spectra[first], delay_idx)
+             num_patterns: int, fast: bool | None = None,
+             genie_h=None, perfect_chan_est: bool = False) -> RxResult:
+    """Demodulate a buffer of samples.  n_trials/num_patterns are static.
+
+    ``fast`` selects the conv-bank sync search (ops/fast_sync.py) — the
+    same math as one fused correlation, ~10x cheaper than per-trial FFTs;
+    the channel-estimation spectrum is still computed exactly at the lock
+    trial.  Defaults to on whenever the config's bin plan allows it.
+
+    ``perfect_chan_est`` substitutes the true channel's frequency response
+    (``genie_h`` CIR) on the synch bins for the estimate — the genie/oracle
+    isolation mode of TEST/GNU_RADIO_OFFLINE/synch_and_chan_est.py:213-215.
+    """
+    if fast is None:
+        fast = cfg.num_synch_bins == cfg.nfft - 2
+    if fast:
+        from ..ops import fast_sync
+        corr = fast_sync.sync_corr_abs_fast(cfg, x, n_trials)
+        ptr, delay_idx, peak, found, first = sync.first_lock(cfg, corr)
+        spec1 = sync.sync_spectrum_at(cfg, x, first)
+        _, chan_full, cir = sync.estimate_channel(cfg, spec1, delay_idx)
+    else:
+        spectra = sync.sync_spectra(cfg, x, n_trials)
+        corr = jnp.abs(sync.sync_correlate(cfg, spectra))
+        ptr, delay_idx, peak, found, first = sync.first_lock(cfg, corr)
+        _, chan_full, cir = sync.estimate_channel(cfg, spectra[first],
+                                                  delay_idx)
+    if perfect_chan_est and genie_h is not None:
+        import numpy as _np
+
+        from ..utils.params import used_bins as _ub
+        _, _bins = _ub(cfg.nfft, cfg.num_synch_bins)
+        hf = jnp.fft.fft(jnp.asarray(genie_h, jnp.complex64), cfg.nfft)
+        # substitute the true channel IN THE ESTIMATOR'S TIMING FRAME: the
+        # estimated channel absorbs the winning delay derotation
+        # (synch_and_chan_est.py:181-182), so the genie must be rotated the
+        # same way or every equalised bin carries e^{+j2pi k d/N}.  (The
+        # reference's own substitution at TEST synch_and_chan_est.py:213-215
+        # omits this and is only residual-free for delay_idx == 0.)
+        rot = jnp.exp((1j * 2.0 * jnp.pi / cfg.nfft) *
+                      delay_idx.astype(jnp.float32) *
+                      jnp.arange(cfg.nfft, dtype=jnp.float32))
+        chan_full = jnp.zeros(cfg.nfft, jnp.complex64).at[
+            _np.asarray(_bins)].set((hf * rot)[_np.asarray(_bins)])
+        cir = jnp.fft.ifft(chan_full, cfg.nfft)
     phasors = sync.equalize_data_symbols(
         cfg, x, ptr, delay_idx, chan_full, num_patterns)
     if cfg.modulation == "QPSK":
@@ -69,8 +108,10 @@ def plan_rx(cfg: OFDMConfig, n_samples: int) -> tuple[int, int]:
     return n_trials, num_patterns
 
 
-def make_rx(cfg: OFDMConfig, n_samples: int):
-    """Jitted RX for fixed buffer length."""
+def make_rx(cfg: OFDMConfig, n_samples: int, **kwargs):
+    """Jitted RX for fixed buffer length.  kwargs forward to rx_frame
+    (fast=, genie_h=, perfect_chan_est=)."""
     n_trials, num_patterns = plan_rx(cfg, n_samples)
     return jax.jit(functools.partial(
-        rx_frame, cfg, n_trials=n_trials, num_patterns=num_patterns))
+        rx_frame, cfg, n_trials=n_trials, num_patterns=num_patterns,
+        **kwargs))

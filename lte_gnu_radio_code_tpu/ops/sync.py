@@ -62,6 +62,22 @@ def sync_spectra(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int) -> jnp.ndarray:
     return s * jnp.sqrt(s.shape[-1] / power)
 
 
+def sync_spectrum_at(cfg: OFDMConfig, x: jnp.ndarray, trial) -> jnp.ndarray:
+    """Power-normalised synch-bin spectrum of ONE trial (dynamic index).
+
+    Used by the fast-sync path to compute the exact channel-estimation
+    spectrum only at the lock trial."""
+    _, synch_bins = used_bins(cfg.nfft, cfg.num_synch_bins)
+    start = cfg.cp_len + cfg.stride * trial
+    offs = (np.arange(cfg.m_synch) * cfg.rx_b_len)[:, None] + \
+        np.arange(cfg.nfft)[None, :]
+    win = x[start + jnp.asarray(offs)]
+    f = jnp.fft.fft(win, cfg.nfft, axis=-1)
+    s = f[..., np.asarray(synch_bins)].reshape(-1)
+    power = jnp.sum(jnp.abs(s) ** 2)
+    return s * jnp.sqrt(s.shape[-1] / jnp.maximum(power, 1e-30))
+
+
 def sync_correlate(cfg: OFDMConfig, spectra: jnp.ndarray) -> jnp.ndarray:
     """Delay-hypothesis correlation |del_mat| for all trials at once.
 
