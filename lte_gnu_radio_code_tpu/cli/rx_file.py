@@ -1,0 +1,74 @@
+"""Recorded-IQ receiver — replaces LEGACY/gr-ofdm-rx/examples/top_block.py
+(D4: USRP source -> SynchEstAndFO -> BitRecovery -> Qt sinks).
+
+Radio hardware is out of scope on TPU (SURVEY.md §2.8 X6); the UHD source is
+replaced by an IQ file/pickle source.  The RX is the legacy multi-detection
+CFO-search family (SynchEstAndFO / SynchEstFOAndDSSS) driven by the same
+hard-coded `case` tables (SynchEstAndFO.py:36-137)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("iq_file", help="pickle (or .npy) of complex IQ samples")
+    p.add_argument("--case", type=int, default=7,
+                   help="legacy case table index (top_block.py:129 uses 7)")
+    p.add_argument("--fo-range", type=float, nargs="*", default=[0.0],
+                   help="CFO candidates in Hz (top_block.py: [0])")
+    p.add_argument("--dsss", type=int, default=0,
+                   help="use the DSSS case table + despreading")
+    p.add_argument("--max-det", type=int, default=100)
+    p.add_argument("--diag-dir")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..io.pickles import load_pickle_iq
+    from ..models import legacy_rx
+    from ..utils.params import CFO_CASES, DSSS_CASES, config_from_case
+
+    if str(args.iq_file).endswith(".npy"):
+        rx = np.load(args.iq_file).ravel()
+    else:
+        rx = load_pickle_iq(args.iq_file).ravel()
+
+    if args.dsss:
+        cfg = config_from_case(DSSS_CASES, args.case)
+        dsss = DSSS_CASES[args.case]["dsss"]
+    else:
+        cfg = config_from_case(CFO_CASES, args.case)
+        dsss = 1
+
+    f = legacy_rx.make_legacy_rx(cfg, len(rx), fo_range=tuple(args.fo_range),
+                                 dsss=dsss, max_det=args.max_det)
+    r = f(jnp.asarray(rx, jnp.complex64))
+    n = int(r.count)
+    out = {
+        "detections": n,
+        "ptrs": np.asarray(r.ptrs[:n]).tolist(),
+        "delays": np.asarray(r.delays[:n]).tolist(),
+        "fo_idx": np.asarray(r.fo_idx[:n]).tolist(),
+    }
+    if args.diag_dir:
+        from ..utils import diagnostics as diag
+        diag.iq_scatter(r.despread[:n] if dsss > 1 else r.phasors[:n],
+                        save_to=f"{args.diag_dir}/iq_scatter.png")
+    if args.json:
+        print(json.dumps(out))
+    else:
+        print(f"{n} detections")
+        for i in range(n):
+            print(f"  ptr {out['ptrs'][i]:7d}  delay {out['delays'][i]:3d}  "
+                  f"fo {args.fo_range[out['fo_idx'][i]]:+.0f} Hz")
+    return out
+
+
+if __name__ == "__main__":
+    main()
