@@ -48,14 +48,20 @@ def bench_step(cfg, h, n_trials, num_patterns, bits, seed):
 
 
 def main():
-    cfg = GOLDEN64
+    # optional args: [batch] [config: loopback64|lte1024|lte2048]
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    which = sys.argv[2] if len(sys.argv) > 2 else "loopback64"
+    if which == "loopback64":
+        cfg, label = GOLDEN64, "ofdm_chain loopback config, NFFT 64, QPSK"
+    else:
+        from lte_gnu_radio_code_tpu.utils.params import LTE1024, LTE2048
+        cfg = {"lte1024": LTE1024, "lte2048": LTE2048}[which]
+        label = f"LTE-scale NFFT {cfg.nfft}, QPSK"
     n_samples = cfg.frame_len + cfg.nfft - 1
     n_trials, num_patterns = rxofdm.plan_rx(cfg, n_samples)
     # keep h as a NumPy constant: it is baked into the jitted program at
     # trace time (eager complex device_put is unsupported on the tunnel)
     h = chan_ops.channel_taps("Fading")
-
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     step = jax.jit(jax.vmap(functools.partial(
         bench_step, cfg, h, n_trials, num_patterns)))
 
@@ -85,8 +91,7 @@ def main():
 
     msps = batch * n_samples / dt / 1e6
     print(json.dumps({
-        "metric": "full TX->fading->AWGN->RX chain throughput "
-                  "(ofdm_chain loopback config, NFFT 64, QPSK)",
+        "metric": f"full TX->fading->AWGN->RX chain throughput ({label})",
         "value": round(msps, 3),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / BASELINE_MSPS, 2),

@@ -1,0 +1,105 @@
+"""Pallas TPU kernel: fused data demodulation — per-symbol DFT restricted to
+the data bins (one MXU matmul against a [nfft, B] basis), per-symbol power
+normalisation, timing derotation and one-tap MMSE equalisation, all in one
+VMEM pass.
+
+Replaces the stage-B chain of the reference RX (TEST/GNU_RADIO_OFFLINE/
+synch_and_chan_est.py:258-284): FFT -> gather bins -> p_est -> derotate ->
+eq_gain, which in XLA form costs several HBM round-trips over the symbol
+tensor.  The derotation and MMSE gain are combined into a single complex
+coefficient per bin before the kernel launch (they are per-frame constants
+once the sync lock is known).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.params import OFDMConfig, used_bins
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_bins_mats(nfft: int, num_bins: int):
+    """[nfft, B] real/imag of e^{-j 2 pi b_k n / N} on the data bins."""
+    _, bins = used_bins(nfft, num_bins)
+    n = np.arange(nfft)
+    v = np.exp(-2j * np.pi * np.outer(n, np.asarray(bins)) / nfft)
+    return v.real.astype(np.float32), v.imag.astype(np.float32)
+
+
+def _kernel(wr_ref, wi_ref, vr_ref, vi_ref, cr_ref, ci_ref, or_ref, oi_ref):
+    wr, wi = wr_ref[:], wi_ref[:]
+    vr, vi = vr_ref[:], vi_ref[:]
+    # DFT onto data bins: F = w @ V   [K, B]
+    fr = (jnp.dot(wr, vr, preferred_element_type=jnp.float32) -
+          jnp.dot(wi, vi, preferred_element_type=jnp.float32))
+    fi = (jnp.dot(wr, vi, preferred_element_type=jnp.float32) +
+          jnp.dot(wi, vr, preferred_element_type=jnp.float32))
+    b = fr.shape[-1]
+    power = jnp.sum(fr * fr + fi * fi, axis=1, keepdims=True)
+    scale = jnp.sqrt(b) * jax.lax.rsqrt(jnp.maximum(power, 1e-30))
+    fr = fr * scale
+    fi = fi * scale
+    # combined derotation * MMSE coefficient (per-bin complex)
+    cr, ci = cr_ref[:], ci_ref[:]
+    or_ref[:] = fr * cr - fi * ci
+    oi_ref[:] = fr * ci + fi * cr
+
+
+def demod_windows(cfg: OFDMConfig, win: jnp.ndarray, coeff: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """[K, nfft] complex windows + [B] complex combined coeff -> [K, B]
+    equalised phasors via the fused kernel."""
+    k = win.shape[0]
+    b = cfg.num_data_bins
+    vr, vi = _dft_bins_mats(cfg.nfft, b)
+    coeff2 = jnp.broadcast_to(coeff[None, :], (k, b))
+    out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32)
+    tr, ti = pl.pallas_call(
+        _kernel,
+        out_shape=(out_shape, out_shape),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * k * cfg.nfft * b,
+            bytes_accessed=4 * k * (2 * cfg.nfft + 4 * b),
+            transcendentals=0),
+        interpret=interpret,
+    )(win.real.astype(jnp.float32), win.imag.astype(jnp.float32),
+      jnp.asarray(vr), jnp.asarray(vi),
+      coeff2.real.astype(jnp.float32), coeff2.imag.astype(jnp.float32))
+    return (tr + 1j * ti).astype(jnp.complex64)
+
+
+def equalize_data_symbols(cfg: OFDMConfig, x: jnp.ndarray, lock_ptr,
+                          delay_idx, chan_full: jnp.ndarray,
+                          num_patterns: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ops.sync.equalize_data_symbols using the fused kernel."""
+    from ..ops import sync as sync_ops
+
+    _, data_bins = used_bins(cfg.nfft, cfg.num_data_bins)
+    data_bins = np.asarray(data_bins)
+    m0, nd = cfg.m_synch, cfg.synch_dat[1]
+    block = cfg.pattern_len * cfg.rx_b_len
+
+    kk = jnp.arange(num_patterns)[:, None]
+    jj = jnp.arange(nd)[None, :]
+    start = lock_ptr + kk * block + (m0 + jj) * cfg.rx_b_len
+    idx = start.reshape(-1)[:, None] + jnp.arange(cfg.nfft)[None, :]
+    win = x[idx]                                        # [K, nfft]
+
+    rot = jnp.exp((1j * 2.0 * jnp.pi / cfg.nfft) *
+                  delay_idx.astype(jnp.float32) *
+                  jnp.asarray(data_bins, jnp.float32)).astype(jnp.complex64)
+    eq = sync_ops.mmse_gain(chan_full[data_bins], cfg.snr_linear)
+    phasors = demod_windows(cfg, win, rot * eq, interpret)
+    return phasors.reshape(num_patterns * nd, cfg.num_data_bins)

@@ -1,0 +1,65 @@
+"""Pallas kernels (interpret mode on CPU; real-TPU runs are exercised by
+bench/driver).  Each kernel must match its XLA-path op."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lte_gnu_radio_code_tpu.models import rxofdm
+from lte_gnu_radio_code_tpu.ops import modulation, ofdm, sync
+from lte_gnu_radio_code_tpu.pallas_kernels import equalize as pk_eq
+from lte_gnu_radio_code_tpu.pallas_kernels import ofdm_mod as pk_mod
+from lte_gnu_radio_code_tpu.reference_cpu import golden as G
+from lte_gnu_radio_code_tpu.utils.params import GOLDEN64, OFDMConfig
+
+
+def _grid(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    bits = jnp.asarray(rng.integers(0, 2, cfg.num_bits, dtype=np.int32))
+    pts = modulation.bits_to_symbols(bits, cfg.modulation)
+    return ofdm.resource_grid(
+        cfg, pts.reshape(cfg.num_data_symb, cfg.num_data_bins))
+
+
+@pytest.mark.parametrize("nfft,cp", [(64, 16), (256, 64)])
+def test_pallas_modulate_matches_xla(nfft, cp):
+    cfg = OFDMConfig(nfft=nfft, cp_len=cp, num_ofdm_symb=16,
+                     num_data_bins=nfft - 4, num_synch_bins=nfft - 2
+                     ).validate()
+    grid = _grid(cfg)
+    ref = np.asarray(ofdm.modulate(cfg, grid))
+    out = np.asarray(pk_mod.modulate(cfg, grid, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_pallas_equalize_matches_xla():
+    cfg = GOLDEN64
+    bits = np.random.default_rng(0).integers(0, 2, cfg.num_bits)
+    tx = G.tx_frame(cfg, bits)
+    rx = G.apply_channel(tx, G.channel_taps("Fading"), max_impulse=64)
+    x = jnp.asarray(rx, jnp.complex64)
+    r = rxofdm.make_rx(cfg, len(rx))(x)
+
+    ref = np.asarray(sync.equalize_data_symbols(
+        cfg, x, r.lock_ptr, r.delay_idx,
+        jnp.fft.fft(r.chan_est_time, cfg.nfft), cfg.num_patterns))
+    out = np.asarray(pk_eq.equalize_data_symbols(
+        cfg, x, r.lock_ptr, r.delay_idx,
+        jnp.fft.fft(r.chan_est_time, cfg.nfft), cfg.num_patterns,
+        interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+    hard_ref, _, _ = modulation.qpsk_llr(jnp.asarray(ref))
+    hard_out, _, _ = modulation.qpsk_llr(jnp.asarray(out))
+    np.testing.assert_array_equal(np.asarray(hard_out), np.asarray(hard_ref))
+
+
+def test_pallas_modulate_end_to_end_demodulates():
+    cfg = GOLDEN64
+    bits = np.random.default_rng(1).integers(0, 2, cfg.num_bits)
+    grid = _grid(cfg, seed=1)
+    tx = np.asarray(pk_mod.modulate(cfg, grid, interpret=True))
+    rx = G.apply_channel(tx.astype(np.complex128), G.channel_taps("Fading"),
+                         max_impulse=64)
+    ph, tsr, _ = G.rx_frame(cfg, rx)
+    hard, _, _ = G.bit_recovery(ph)
+    assert np.mean(hard[:cfg.num_bits] != bits) == 0.0
