@@ -184,3 +184,33 @@ class StreamingRx:
     def finish(self) -> ChunkOut:
         """Flush: push zeros so trailing blocks inside the history resolve."""
         return self.push(jnp.zeros(self.chunk_len, jnp.complex64))
+
+    # -- checkpoint/resume (SURVEY.md §5: pickle persistence, done as npz) --
+    def save_state(self, path) -> None:
+        """Persist the carry so a stream can resume in a new process.
+        Complex fields stored planar (re/im) — transfer-safe everywhere."""
+        s = self.state
+        np.savez_compressed(
+            path,
+            hist_re=np.asarray(s.hist.real), hist_im=np.asarray(s.hist.imag),
+            base=np.asarray(s.base), locked=np.asarray(s.locked),
+            lock_ptr=np.asarray(s.lock_ptr),
+            delay_idx=np.asarray(s.delay_idx),
+            chan_re=np.asarray(s.chan_full.real),
+            chan_im=np.asarray(s.chan_full.imag),
+            next_k=np.asarray(s.next_k),
+            last_det_ptr=np.asarray(s.last_det_ptr))
+
+    def load_state(self, path) -> None:
+        with np.load(path) as z:
+            self.state = StreamState(
+                hist=jnp.asarray(z["hist_re"] + 1j * z["hist_im"],
+                                 jnp.complex64),
+                base=jnp.int32(z["base"]),
+                locked=jnp.bool_(z["locked"]),
+                lock_ptr=jnp.int32(z["lock_ptr"]),
+                delay_idx=jnp.int32(z["delay_idx"]),
+                chan_full=jnp.asarray(z["chan_re"] + 1j * z["chan_im"],
+                                      jnp.complex64),
+                next_k=jnp.int32(z["next_k"]),
+                last_det_ptr=jnp.int32(z["last_det_ptr"]))
