@@ -29,7 +29,9 @@ def build_config(args):
         synch_dat=tuple(args.synch_dat), num_data_bins=args.num_data_bins,
         num_synch_bins=args.nfft - 2, snr_db=args.snr,
         detection_gate=args.gate, channel=args.channel,
-        modulation=args.modulation).validate()
+        modulation=args.modulation, pilot_grid=args.pilot_grid,
+        pilot_spacing=args.pilot_spacing,
+        ref_sigs=args.ref_sigs).validate()
 
 
 def main(argv=None):
@@ -45,6 +47,13 @@ def main(argv=None):
                    choices=["Ideal", "IMT1", "IMT16", "Fading", "AWGN"])
     p.add_argument("--modulation", default="QPSK",
                    choices=["BPSK", "QPSK", "QAM16", "QAM64"])
+    p.add_argument("--pilot-grid", default="none",
+                   choices=["none", "lte", "random"],
+                   help="scattered-pilot grid + pilot chan-est (ops/pilots)")
+    p.add_argument("--pilot-spacing", type=int, default=4)
+    p.add_argument("--ref-sigs", type=float, default=0.0,
+                   help="pilot bin fraction for --pilot-grid random "
+                        "(the reference's ref_sigs, SystemModel.py:30)")
     p.add_argument("--tx-pickle", help="stream this IQ pickle through the RX")
     p.add_argument("--bits-pickle", help="ground-truth bits for BER")
     p.add_argument("--seed", type=int, default=0)

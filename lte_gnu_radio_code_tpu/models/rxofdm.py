@@ -80,8 +80,16 @@ def rx_frame(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
         chan_full = jnp.zeros(cfg.nfft, jnp.complex64).at[
             _np.asarray(_bins)].set((hf * rot)[_np.asarray(_bins)])
         cir = jnp.fft.ifft(chan_full, cfg.nfft)
-    phasors = sync.equalize_data_symbols(
-        cfg, x, ptr, delay_idx, chan_full, num_patterns)
+    if cfg.pilot_grid != "none":
+        # pilot-based channel estimation + EQ (BASELINE configs 2-3): the
+        # synch lock still supplies timing; H comes from the scattered
+        # pilots inside the data symbols (ops/pilots.py)
+        from ..ops import pilots
+        phasors = pilots.equalize_data_symbols_pilot(
+            cfg, x, ptr, delay_idx, num_patterns)
+    else:
+        phasors = sync.equalize_data_symbols(
+            cfg, x, ptr, delay_idx, chan_full, num_patterns)
     if cfg.modulation == "QPSK":
         hard, llr0, llr1 = modulation.qpsk_llr(phasors)
     else:

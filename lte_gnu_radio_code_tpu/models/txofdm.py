@@ -21,7 +21,7 @@ def tx_frame(cfg: OFDMConfig, bits: jnp.ndarray) -> jnp.ndarray:
     """[cfg.num_bits] bits -> [cfg.frame_len] complex64 time samples."""
     pts = modulation.bits_to_symbols(bits, cfg.modulation)
     grid = ofdm.resource_grid(
-        cfg, pts.reshape(cfg.num_data_symb, cfg.num_data_bins))
+        cfg, pts.reshape(cfg.num_data_symb, cfg.num_data_only_bins))
     return ofdm.modulate(cfg, grid)
 
 

@@ -38,6 +38,16 @@ def resource_grid(cfg: OFDMConfig, data_symbols: jnp.ndarray) -> jnp.ndarray:
 
     grid = jnp.zeros((cfg.num_ofdm_symb, cfg.nfft), dtype=jnp.complex64)
     grid = grid.at[np.ix_(synch_rows, np.asarray(synch_bins))].set(jnp.asarray(zc_rows))
+    if cfg.pilot_grid != "none":
+        # scattered pilots carved out of the used bins (SDRScript.py:63-67
+        # completed per BASELINE configs 2-3) — known QPSK values on the
+        # pilot bins of every data symbol, data on the remaining bins
+        from ..utils.params import pilot_bin_plan
+        from .pilots import pilot_values
+        _, p_wrapped, _, d_wrapped = pilot_bin_plan(cfg)
+        grid = grid.at[np.ix_(data_rows, np.asarray(p_wrapped))].set(
+            jnp.asarray(pilot_values(cfg))[None, :])
+        data_bins = d_wrapped
     grid = grid.at[np.ix_(data_rows, np.asarray(data_bins))].set(
         data_symbols.astype(jnp.complex64))
     return grid

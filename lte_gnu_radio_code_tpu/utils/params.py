@@ -67,6 +67,22 @@ class OFDMConfig:
     num_ant_txrx: int = 1
     bin_spacing: float = 15e3
     channel_band: float = 0.97 * 960e3
+    # ---- scattered-pilot (reference-signal) grid ---------------------------
+    # The reference derives pilot ("ref") bins but ships with ref_sigs = 0.0
+    # so they are never populated (SystemModel.py:30, SDRScript.py:63-67).
+    # BASELINE.json configs 2-3 require a working LTE-like pilot grid, so the
+    # machinery is completed here:
+    #   "none"   — no pilots; all num_data_bins carry data (every shipped
+    #              reference config).
+    #   "lte"    — evenly spaced pilots every `pilot_spacing` used bins plus
+    #              both band edges (LTE CRS-style), carved out of the
+    #              num_data_bins used bins.
+    #   "random" — the reference's own scheme: symmetric +/- bins drawn by a
+    #              seeded RNG with fraction `ref_sigs` (SDRScript.py:63-67).
+    pilot_grid: str = "none"           # none | lte | random
+    ref_sigs: float = 0.0              # SystemModel.py:30 (fraction of bins)
+    pilot_spacing: int = 6             # LTE CRS spacing, "lte" mode
+    pilot_seed: int = 7                # seeds pilot bin draw + pilot values
 
     # ---- derived ---------------------------------------------------------
     @property
@@ -103,8 +119,21 @@ class OFDMConfig:
         return {"BPSK": 1, "QPSK": 2, "QAM16": 4, "QAM64": 6}[self.modulation]
 
     @property
+    def num_pilot_bins(self) -> int:
+        if self.pilot_grid == "none":
+            return 0
+        return len(pilot_bin_plan(self)[0])
+
+    @property
+    def num_data_only_bins(self) -> int:
+        """Bins that actually carry data = used bins minus pilot bins
+        (the reference's data_only_bins = setdiff1d(all_bins, ref_only_bins),
+        SDRScript.py:67)."""
+        return self.num_data_bins - self.num_pilot_bins
+
+    @property
     def num_bits(self) -> int:
-        return self.num_data_symb * self.num_data_bins * self.bits_per_bin
+        return self.num_data_symb * self.num_data_only_bins * self.bits_per_bin
 
     @property
     def frame_len(self) -> int:
@@ -149,6 +178,48 @@ def used_bins(nfft: int, num_bins: int) -> Tuple[Tuple[int, ...], Tuple[int, ...
     signed = tuple(neg + pos)
     wrapped = tuple((nfft + b) % nfft for b in signed)
     return signed, wrapped
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def pilot_bin_plan(cfg: "OFDMConfig"):
+    """Split the used-bin set into (pilot, data-only) bins.
+
+    Returns (pilot_signed, pilot_wrapped, data_signed, data_wrapped), each a
+    tuple of ints; the signed lists are monotonically increasing so the RX can
+    interpolate the pilot channel estimate across frequency.
+
+    Reference: SDRScript.py:59-67 derives all_bins / ref_only_bins /
+    data_only_bins but never populates the pilots (ref_sigs = 0.0,
+    SystemModel.py:30); this completes that machinery per BASELINE.json
+    configs 2-3.
+    """
+    import numpy as _np
+
+    signed, _ = used_bins(cfg.nfft, cfg.num_data_bins)
+    all_bins = _np.asarray(signed)
+    if cfg.pilot_grid == "none":
+        pilots = _np.asarray([], dtype=_np.int64)
+    elif cfg.pilot_grid == "lte":
+        pos = list(range(0, len(all_bins), cfg.pilot_spacing))
+        if (len(all_bins) - 1) not in pos:      # anchor the upper band edge
+            pos.append(len(all_bins) - 1)
+        pilots = all_bins[_np.asarray(pos)]
+    elif cfg.pilot_grid == "random":
+        # the reference's exact draw (SDRScript.py:63-66): symmetric +/- bins
+        rng = _np.random.RandomState(cfg.pilot_seed)
+        half = cfg.num_data_bins // 2
+        size = int(_np.floor(cfg.num_data_bins * cfg.ref_sigs / 2))
+        ref = _np.unique(rng.randint(1, half + 1, size=size))
+        pilots = _np.sort(_np.concatenate((-ref, ref)))
+    else:
+        raise ValueError(f"unknown pilot_grid {cfg.pilot_grid!r}")
+    data_only = _np.setdiff1d(all_bins, pilots)
+    wrap = lambda b: tuple(int((cfg.nfft + v) % cfg.nfft) for v in b)
+    return (tuple(int(v) for v in pilots), wrap(pilots),
+            tuple(int(v) for v in data_only), wrap(data_only))
 
 
 def derive_numerology(channel_band: float, bin_spacing: float,
