@@ -43,6 +43,8 @@ def rx_frame(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     same math as one fused correlation, ~10x cheaper than per-trial FFTs;
     the channel-estimation spectrum is still computed exactly at the lock
     trial.  Defaults to on whenever the config's bin plan allows it.
+    ``fast="pallas"`` runs the search through the fused Pallas kernel
+    (pallas_kernels/sync_search.py) instead of the XLA conv bank.
 
     ``perfect_chan_est`` substitutes the true channel's frequency response
     (``genie_h`` CIR) on the synch bins for the estimate — the genie/oracle
@@ -51,8 +53,13 @@ def rx_frame(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     if fast is None:
         fast = cfg.num_synch_bins == cfg.nfft - 2
     if fast:
-        from ..ops import fast_sync
-        corr = fast_sync.sync_corr_abs_fast(cfg, x, n_trials)
+        if fast == "pallas":
+            from ..pallas_kernels import sync_search
+            corr = sync_search.sync_corr_abs(
+                cfg, x, n_trials, interpret=jax.default_backend() != "tpu")
+        else:
+            from ..ops import fast_sync
+            corr = fast_sync.sync_corr_abs_fast(cfg, x, n_trials)
         ptr, delay_idx, peak, found, first = sync.first_lock(cfg, corr)
         spec1 = sync.sync_spectrum_at(cfg, x, first)
         _, chan_full, cir = sync.estimate_channel(cfg, spec1, delay_idx)

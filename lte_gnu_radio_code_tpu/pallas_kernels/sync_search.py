@@ -1,0 +1,167 @@
+"""Pallas TPU kernel: the fused sync search — the reference's hottest loop
+(gr-RXOFDM/python/synch_and_chan_est.py:140-179, window gather -> FFT ->
+bin select -> power norm -> delay-search correlation) as ONE VMEM-resident
+pass per trial tile.
+
+Formulation (same math as ops/fast_sync.py, see its derivation): the whole
+(trial, delay) search is  corr[p, d] = sum_m x[cp + p*s + m] * K_d[m]  with
+fixed kernels K_d of length klen = (m0-1)*(nfft+cp) + nfft, and the per-trial
+Parseval normalisation needs only window sums of |x|^2, x and (-1)^n x.
+
+Kernel strategy: build the Hankel trial matrix  X[p, m] = x[cp + p*s + m]
+WITHOUT a gather — reshape x into frames of the *effective* stride
+se = G*s (G interleaved trial groups so se >= 8 even for the dense s = 1
+search):  x2[i, r] = x[cp + i*se + r].  Column block q of the group-g Hankel
+is then the contiguous row slice x2[p0+q : p0+q+TP] shifted by g*s columns,
+so ALL G groups share one extended Hankel X0 [TP, klen + (G-1)*s] and the
+group shift moves into the (precomputed, block-banded) weight matrices:
+
+  corr       = X0 @ K~        [TP, G*(cp+1)]  (complex, MXU)
+  DC, NY     = X0 @ Wdc~/Wny~ [TP, G*m0]      (window sums, MXU)
+  E          = |X0|^2 @ we~   [TP, G]
+  out        = |corr| * sqrt(L / (nfft*E - sum|DC|^2 - sum|NY|^2))
+
+where W~[g*s + m, g*c + j] = W[m, j].  Trial p = g + G*p' lands in output
+row p', column group g — a plain reshape recovers [n_trials, cp+1].
+
+One HBM read of the sample tile, zero intermediate HBM traffic.  The XLA
+conv-bank path (ops/fast_sync.py) computes the dense correlation at EVERY
+sample offset then slices out the stride-spaced trials; this kernel computes
+only the trials (a 1/stride FLOP saving for strided configs) and fuses the
+normalisation into the same pass.
+
+Complex arithmetic is planar float32 re/im (axon-tunnel-safe).
+Requires num_synch_bins == nfft-2 (Parseval form) and even nfft+cp
+(the (-1)^n window sign then depends only on the Hankel column).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.fast_sync import _kernels
+from ..utils.params import OFDMConfig
+
+_MIN_EFF_STRIDE = 8     # sublane granularity for the Hankel column slices
+
+
+@functools.lru_cache(maxsize=32)
+def _weights(cfg: OFDMConfig, groups: int):
+    """Block-banded (group-shifted) correlation + normalisation weights."""
+    k = _kernels(cfg)                                   # [cp+1, klen] c64
+    d, klen = k.shape
+    nfft, m0, s = cfg.nfft, cfg.m_synch, cfg.stride
+    assert cfg.rx_b_len % 2 == 0, "NY sign trick needs even nfft+cp"
+    m = np.arange(klen)
+    wdc = np.zeros((klen, m0), np.float32)
+    for l in range(m0):
+        wdc[l * cfg.rx_b_len: l * cfg.rx_b_len + nfft, l] = 1.0
+    wny = wdc * ((-1.0) ** m)[:, None].astype(np.float32)
+    we = wdc.sum(axis=1, keepdims=True)                 # [klen, 1]
+    klen_ext = klen + (groups - 1) * s
+
+    def expand(w):
+        c = w.shape[1]
+        out = np.zeros((klen_ext, groups * c), w.dtype)
+        for g in range(groups):
+            out[g * s: g * s + klen, g * c: (g + 1) * c] = w
+        return out
+
+    # group-reduction / group-broadcast indicator matrices (Mosaic has no
+    # minor-dim reshape, so per-group sums/broadcasts go through the MXU too)
+    gsum = np.zeros((groups * m0, groups), np.float32)
+    for g in range(groups):
+        gsum[g * m0: (g + 1) * m0, g] = 1.0
+    gexp = np.zeros((groups, groups * d), np.float32)
+    for g in range(groups):
+        gexp[g, g * d: (g + 1) * d] = 1.0
+
+    # the NY sign is the parity of the in-window index n = m_abs - g*s -
+    # l*rx_b_len; within group g the Hankel column is m_abs - g*s, so the
+    # group shift leaves wny's sign pattern intact under expand().
+    return (expand(np.ascontiguousarray(k.real.T.astype(np.float32))),
+            expand(np.ascontiguousarray(k.imag.T.astype(np.float32))),
+            expand(wdc), expand(wny), expand(we), gsum, gexp)
+
+
+def _kernel(tp, n_q, klen_ext, nfft, big_l,
+            xr2_ref, xi2_ref, ktr_ref, kti_ref, wdc_ref, wny_ref, we_ref,
+            gsum_ref, gexp_ref, out_ref):
+    row0 = pl.program_id(0) * tp
+    xr = jnp.concatenate(
+        [xr2_ref[pl.ds(row0 + q, tp), :] for q in range(n_q)],
+        axis=1)[:, :klen_ext]                           # Hankel [TP, klen~]
+    xi = jnp.concatenate(
+        [xi2_ref[pl.ds(row0 + q, tp), :] for q in range(n_q)],
+        axis=1)[:, :klen_ext]
+    ktr, kti = ktr_ref[:], kti_ref[:]
+    cr = (jnp.dot(xr, ktr, preferred_element_type=jnp.float32) -
+          jnp.dot(xi, kti, preferred_element_type=jnp.float32))
+    ci = (jnp.dot(xr, kti, preferred_element_type=jnp.float32) +
+          jnp.dot(xi, ktr, preferred_element_type=jnp.float32))
+    wdc, wny, we = wdc_ref[:], wny_ref[:], we_ref[:]
+    e = jnp.dot(xr * xr + xi * xi, we,
+                preferred_element_type=jnp.float32)     # [TP, G]
+    dcr = jnp.dot(xr, wdc, preferred_element_type=jnp.float32)
+    dci = jnp.dot(xi, wdc, preferred_element_type=jnp.float32)
+    nyr = jnp.dot(xr, wny, preferred_element_type=jnp.float32)
+    nyi = jnp.dot(xi, wny, preferred_element_type=jnp.float32)
+    gsum = gsum_ref[:]
+    dc2 = jnp.dot(dcr * dcr + dci * dci, gsum,
+                  preferred_element_type=jnp.float32)   # [TP, G]
+    ny2 = jnp.dot(nyr * nyr + nyi * nyi, gsum,
+                  preferred_element_type=jnp.float32)
+    s_pow = nfft * e - dc2 - ny2                        # [TP, G]
+    scale = jnp.sqrt(big_l / jnp.maximum(s_pow, 1e-30))
+    scale_exp = jnp.dot(scale, gexp_ref[:],
+                        preferred_element_type=jnp.float32)  # [TP, G*D]
+    out_ref[:] = jnp.sqrt(cr * cr + ci * ci) * scale_exp
+
+
+def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
+                  interpret: bool = False) -> jnp.ndarray:
+    """|corr| [n_trials, cp+1] — drop-in for ops.fast_sync.sync_corr_abs_fast
+    (single frame; vmap for batches).  x: [n] complex."""
+    assert cfg.num_synch_bins == cfg.nfft - 2, \
+        "Parseval normalisation requires the canonical all-but-DC/Nyquist bins"
+    s = cfg.stride
+    g = -(-_MIN_EFF_STRIDE // s)                        # interleaved groups
+    se = g * s                                          # effective stride
+    ktr, kti, wdc, wny, we, gsum, gexp = _weights(cfg, g)
+    klen_ext, gd = ktr.shape
+    d = gd // g
+    n_q = -(-klen_ext // se)
+    n_rows = -(-n_trials // g)                          # trials per group
+    tp = min(256, -(-n_rows // 8) * 8)
+    n_tiles = -(-n_rows // tp)
+    rows = n_tiles * tp + n_q                           # x2 rows needed
+    need = cfg.cp_len + rows * se
+    xp = jnp.pad(x, (0, max(0, need - x.shape[0])))[cfg.cp_len:need]
+    x2 = xp.reshape(rows, se)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, tp, n_q, klen_ext, float(cfg.nfft),
+                          float(cfg.m_synch * cfg.num_synch_bins)),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tp, gd), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=pl.BlockSpec((tp, gd), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * tp * klen_ext * (4 * gd + 6 * g * cfg.m_synch),
+            bytes_accessed=4 * (2 * rows * se + n_tiles * tp * gd),
+            transcendentals=0),
+        interpret=interpret,
+    )(x2.real.astype(jnp.float32), x2.imag.astype(jnp.float32),
+      jnp.asarray(ktr), jnp.asarray(kti), jnp.asarray(wdc),
+      jnp.asarray(wny), jnp.asarray(we), jnp.asarray(gsum),
+      jnp.asarray(gexp))
+    # row p', col group g  ->  trial p = g + G*p' = row-major flat index
+    return out.reshape(-1, d)[:n_trials]

@@ -53,6 +53,41 @@ def test_pallas_equalize_matches_xla():
     np.testing.assert_array_equal(np.asarray(hard_out), np.asarray(hard_ref))
 
 
+@pytest.mark.parametrize("stride", [1, 15])
+def test_pallas_sync_search_matches_conv_bank(stride):
+    import dataclasses
+
+    from lte_gnu_radio_code_tpu.ops import fast_sync
+    from lte_gnu_radio_code_tpu.pallas_kernels import sync_search
+
+    cfg = dataclasses.replace(GOLDEN64, stride=stride).validate()
+    bits = np.random.default_rng(2).integers(0, 2, cfg.num_bits)
+    tx = G.tx_frame(cfg, bits)
+    rx = G.apply_channel(tx, G.channel_taps("Fading"), max_impulse=64)
+    x = jnp.asarray(rx, jnp.complex64)
+    n_trials, _ = rxofdm.plan_rx(cfg, len(rx))
+    ref = np.asarray(fast_sync.sync_corr_abs_fast(cfg, x, n_trials))
+    out = np.asarray(sync_search.sync_corr_abs(cfg, x, n_trials,
+                                               interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_pallas_sync_search_rx_end_to_end():
+    cfg = GOLDEN64
+    bits = np.random.default_rng(3).integers(0, 2, cfg.num_bits)
+    tx = G.tx_frame(cfg, bits)
+    rx = G.apply_channel(tx, G.channel_taps("Fading"), max_impulse=64)
+    x = jnp.asarray(rx, jnp.complex64)
+    r_ref = rxofdm.make_rx(cfg, len(rx), fast=True)(x)
+    r_pal = rxofdm.make_rx(cfg, len(rx), fast="pallas")(x)
+    assert bool(r_pal.found)
+    assert int(r_pal.lock_ptr) == int(r_ref.lock_ptr)
+    assert int(r_pal.delay_idx) == int(r_ref.delay_idx)
+    np.testing.assert_array_equal(np.asarray(r_pal.hard_bits),
+                                  np.asarray(r_ref.hard_bits))
+    assert np.mean(np.asarray(r_pal.hard_bits)[:cfg.num_bits] != bits) == 0.0
+
+
 def test_pallas_modulate_end_to_end_demodulates():
     cfg = GOLDEN64
     bits = np.random.default_rng(1).integers(0, 2, cfg.num_bits)
