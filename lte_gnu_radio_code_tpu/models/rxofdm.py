@@ -13,7 +13,7 @@ LEGACY/gr-ofdm-rx/python/BitRecovery.py:66-157.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Literal, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,7 @@ class RxResult(NamedTuple):
 
 
 def rx_frame(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
-             num_patterns: int, fast: bool | None = None,
+             num_patterns: int, fast: bool | Literal["pallas"] | None = None,
              genie_h=None, perfect_chan_est: bool = False) -> RxResult:
     """Demodulate a buffer of samples.  n_trials/num_patterns are static.
 

@@ -6,7 +6,7 @@ matmuls.  Here the whole search is re-expressed as three batched primitives:
 
   1. `sync_spectra`   — gather ALL trial windows at once -> one batched FFT
   2. `sync_correlate` — one [n_trials, L] x [L, cp+1] complex matmul (MXU)
-  3. `first_lock` / `detect_all` — vectorised gate + refractory selection
+  3. `first_lock` / `refractory_detect` — vectorised gate + refractory selection
 
 This is mathematically identical to the reference (each diag-matmul is an
 elementwise product) but maps the work onto the MXU/VPU instead of a Python
@@ -107,49 +107,6 @@ def first_lock(cfg: OFDMConfig, corr_abs: jnp.ndarray):
     first = jnp.argmax(mask)                                # first True (0 if none)
     ptr = cfg.cp_len + cfg.stride * first
     return ptr, dmax_ind[first], dmax_val[first], found, first
-
-
-def detect_all(cfg: OFDMConfig, corr_abs: jnp.ndarray, max_det: int):
-    """All gate crossings with the refractory rule, fixed [max_det] output.
-
-    Replicates gr-RXOFDM's multi-detection table (synch_and_chan_est.py:167-179):
-    accept a crossing iff ptr - last_accepted_ptr > 2*cp + nfft or it is the
-    first.  Sequential dependence handled by a lax.scan over trials with a
-    trivial carry; emission into fixed slots via cumulative detection count.
-
-    Returns (ptrs [max_det], delays [max_det], peaks [max_det], count).
-    """
-    dmax_val = jnp.max(corr_abs, axis=-1)
-    dmax_ind = jnp.argmax(corr_abs, axis=-1)
-    gate = cfg.detection_gate * cfg.m_synch * cfg.num_synch_bins
-    crossing = dmax_val > gate
-    n = corr_abs.shape[0]
-    ptrs = cfg.cp_len + cfg.stride * jnp.arange(n)
-    refractory = 2 * cfg.cp_len + cfg.nfft
-
-    def body(carry, inp):
-        last_ptr, any_yet = carry
-        cross, ptr = inp
-        ok = cross & ((ptr - last_ptr > refractory) | ~any_yet)
-        last_ptr = jnp.where(ok, ptr, last_ptr)
-        any_yet = any_yet | ok
-        return (last_ptr, any_yet), ok
-
-    (_, _), accepted = lax.scan(
-        body, (jnp.int32(0), jnp.bool_(False)),
-        (crossing, ptrs.astype(jnp.int32)))
-
-    slot = jnp.cumsum(accepted.astype(jnp.int32)) - 1       # slot per trial
-    count = jnp.sum(accepted.astype(jnp.int32))
-    out_ptr = jnp.zeros(max_det, jnp.int32)
-    out_del = jnp.zeros(max_det, jnp.int32)
-    out_peak = jnp.zeros(max_det, jnp.float32)
-    valid = accepted & (slot < max_det)
-    tgt = jnp.where(valid, slot, max_det)                   # drop-overflow slot
-    out_ptr = out_ptr.at[tgt].set(ptrs.astype(jnp.int32), mode="drop")
-    out_del = out_del.at[tgt].set(dmax_ind.astype(jnp.int32), mode="drop")
-    out_peak = out_peak.at[tgt].set(dmax_val.astype(jnp.float32), mode="drop")
-    return out_ptr, out_del, out_peak, count
 
 
 def refractory_detect(cfg: OFDMConfig, dmax_val: jnp.ndarray,

@@ -129,6 +129,7 @@ def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
                   interpret: bool = False) -> jnp.ndarray:
     """|corr| [n_trials, cp+1] — drop-in for ops.fast_sync.sync_corr_abs_fast
     (single frame; vmap for batches).  x: [n] complex."""
+    assert x.ndim == 1, "sync_corr_abs takes a 1-D buffer; vmap for batches"
     assert cfg.num_synch_bins == cfg.nfft - 2, \
         "Parseval normalisation requires the canonical all-but-DC/Nyquist bins"
     s = cfg.stride

@@ -1,9 +1,11 @@
 """ctypes bindings for the native host-side streaming runtime
 (native/ringbuf.cc): SPSC ring buffer + chunked stream scheduler.
 
-The shared object is built on first use with g++ (the toolchain is part of
-the environment; pybind11 is not, hence ctypes).  See native/ringbuf.cc for
-the role this plays vs the reference's GNU Radio C++ runtime.
+Load order: (1) the `_ringbuf` extension built by setup.py (installed
+packages), (2) a cached g++ build from the source tree (dev checkouts; the
+toolchain is part of the environment; pybind11 is not, hence ctypes).  See
+native/ringbuf.cc for the role this plays vs the reference's GNU Radio C++
+runtime.
 """
 
 from __future__ import annotations
@@ -14,7 +16,8 @@ import subprocess
 
 import numpy as np
 
-_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
+_PKG_DIR = pathlib.Path(__file__).resolve().parents[1]
+_NATIVE_DIR = _PKG_DIR.parent / "native"
 _SO = _NATIVE_DIR / "libtpuofdm_ring.so"
 _SRC = _NATIVE_DIR / "ringbuf.cc"
 
@@ -28,14 +31,26 @@ def _build() -> None:
         check=True, capture_output=True)
 
 
+def _locate() -> pathlib.Path:
+    # installed-package extension (built by setup.py)
+    hits = sorted(_PKG_DIR.glob("_ringbuf*.so"))
+    if hits:
+        return hits[0]
+    if not _SRC.exists():
+        raise FileNotFoundError(
+            "native ring buffer: neither the packaged _ringbuf extension nor "
+            f"the source tree ({_SRC}) is available")
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        _build()
+    return _SO
+
+
 def load_library() -> ctypes.CDLL:
     """Build (if needed) and load the native library."""
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-        _build()
-    lib = ctypes.CDLL(str(_SO))
+    lib = ctypes.CDLL(str(_locate()))
     lib.ring_create.restype = ctypes.c_void_p
     lib.ring_create.argtypes = [ctypes.c_size_t]
     lib.ring_destroy.argtypes = [ctypes.c_void_p]
