@@ -65,34 +65,53 @@ def _masked_lstsq(hx, hy, n_eff):
     return jnp.stack([b0, b1])
 
 
-def track_frame(cfg: OFDMConfig, x: jnp.ndarray, total_loops: int,
-                max_det: int) -> TrackResult:
+def tracker_stride(cfg: OFDMConfig) -> int:
+    return int(np.ceil(cfg.cp_len / 2))
+
+
+def tracker_init_carry():
+    """(loop_count, corr_obs, ptr_frame, ptr_adj, sym_count, last_ptr,
+    hx[5], hy[5], b[2]) — the reference's cross-work-call tracker state."""
+    return (jnp.int32(0), jnp.int32(-1), jnp.int32(0), jnp.int32(0),
+            jnp.int32(0), jnp.int32(0), jnp.zeros(5, jnp.float32),
+            jnp.zeros(5, jnp.float32), jnp.zeros(2, jnp.float32))
+
+
+def make_tracker_step(cfg: OFDMConfig, x: jnp.ndarray, x_start,
+                      fire_limit):
+    """Build the tracker scan step over buffer ``x`` whose first sample has
+    global index ``x_start``.
+
+    Fire-or-stall semantics: a step FIRES (evaluates its window, possibly
+    accepting a detection, and consumes a loop count) only when the pointer's
+    sync window ends before ``fire_limit`` (global); otherwise the carry
+    passes through unchanged so a chunked stream retries the same pointer
+    when more samples arrive.  Inside a buffer this is identical to the
+    reference's while-loop; at a buffer end it differs only in never-accepted
+    trailing iterations (the reference keeps advancing ptr_frame past the
+    end, accepting nothing).
+    """
     nfft, cp = cfg.nfft, cfg.cp_len
     m0 = cfg.m_synch
     rx_b_len = cfg.rx_b_len
-    nd = cfg.synch_dat[1]
     pattern = cfg.pattern_len
-    n = x.shape[0]
     _, synch_bins = used_bins(nfft, cfg.num_synch_bins)
-    _, data_bins = used_bins(nfft, cfg.num_data_bins)
     synch_bins = np.asarray(synch_bins)
-    data_bins = np.asarray(data_bins)
     zc = jnp.asarray(zc_for_config(cfg))
     snr = cfg.snr_linear
     L = m0 * cfg.num_synch_bins
-
-    stride = int(np.ceil(cp / 2))
+    stride = tracker_stride(cfg)
     start_samp = cp - 5
     # [L, cp+1] +j-signed delay matrix (RxBasebandSystem.py:146-152)
-    p_mat = np.tile(np.exp(1j * 2 * (np.pi / nfft) *
-                           np.outer(synch_bins, np.arange(cp + 1))),
-                    (m0, 1)).astype(np.complex64)
-    p_mat_j = jnp.asarray(p_mat)
+    p_mat_j = jnp.asarray(np.tile(np.exp(1j * 2 * (np.pi / nfft) *
+                                         np.outer(synch_bins,
+                                                  np.arange(cp + 1))),
+                                  (m0, 1)).astype(np.complex64))
     win_offs = ((np.arange(m0) * rx_b_len)[:, None] +
                 np.arange(nfft)[None, :])
 
-    def correlate(ptr):
-        idx = ptr + jnp.asarray(win_offs)
+    def correlate(ptr_local):
+        idx = ptr_local + jnp.asarray(win_offs)
         w = x[idx]                                     # [m0, nfft]
         f = jnp.fft.fft(w, nfft, axis=-1)
         sd0 = f[:, synch_bins].reshape(-1)             # [L]
@@ -101,8 +120,9 @@ def track_frame(cfg: OFDMConfig, x: jnp.ndarray, total_loops: int,
         dd = jnp.abs(jnp.conj(zc) @ (sd[:, None] * p_mat_j))
         return sd, jnp.max(dd), jnp.argmax(dd).astype(jnp.int32) - 1
 
-    def step(carry, loop_count):
-        (corr_obs, ptr_frame, ptr_adj, sym_count, last_ptr, hx, hy, b) = carry
+    def step(carry, _):
+        (loop_count, corr_obs, ptr_frame, ptr_adj, sym_count, last_ptr,
+         hx, hy, b) = carry
 
         ptr_pred = jnp.ceil(b[0] + b[1] * (sym_count * pattern).astype(jnp.float32)
                             - cp / 4.0).astype(jnp.int32)
@@ -110,17 +130,20 @@ def track_frame(cfg: OFDMConfig, x: jnp.ndarray, total_loops: int,
             corr_obs == -1, loop_count * stride + start_samp + ptr_adj,
             jnp.where(corr_obs < 5, ptr_frame + pattern * rx_b_len, ptr_pred))
 
-        fits = (m0 - 1) * rx_b_len + nfft + ptr < n
-        sd, dmax, dmax_ind = correlate(jnp.where(fits, ptr, 0))
+        fire = ((m0 - 1) * rx_b_len + nfft + ptr < fire_limit) & \
+            (ptr >= x_start)
+        ptr_local = jnp.where(fire, ptr - x_start, 0)
+        sd, dmax, dmax_ind = correlate(ptr_local)
 
-        enter = fits & ((dmax > 0.5 * L) | (corr_obs > -1))
+        enter = fire & ((dmax > 0.5 * L) | (corr_obs > -1))
         # +cp/2 re-adjustment, same window kept (:163-200)
         need_adj = enter & (dmax_ind > np.ceil(0.75 * cp))
         adj = jnp.int32(np.ceil(0.5 * cp))
-        ptr_adj = jnp.where(need_adj & (corr_obs == 0), ptr_adj + adj, ptr_adj)
+        ptr_adj1 = jnp.where(need_adj & (corr_obs == 0), ptr_adj + adj,
+                             ptr_adj)
         ptr = jnp.where(
             need_adj & (corr_obs == 0),
-            loop_count * stride + start_samp + ptr_adj,
+            loop_count * stride + start_samp + ptr_adj1,
             jnp.where(need_adj & (corr_obs > 0) & (corr_obs < 5),
                       ptr + adj, ptr))
 
@@ -145,34 +168,29 @@ def track_frame(cfg: OFDMConfig, x: jnp.ndarray, total_loops: int,
         h_row = jnp.zeros(nfft, jnp.complex64).at[synch_bins].set(h_est)
         h_row = jnp.where(accept, h_row, jnp.zeros_like(h_row))
 
-        last_ptr1 = jnp.where(accept, ptr, last_ptr)
-        carry1 = (corr_obs1, ptr, ptr_adj, sym_count1, last_ptr1,
-                  hx1, hy1, b1)
+        carry1 = (jnp.where(fire, loop_count + 1, loop_count), corr_obs1,
+                  jnp.where(fire, ptr, ptr_frame), ptr_adj1, sym_count1,
+                  jnp.where(accept, ptr, last_ptr), hx1, hy1, b1)
         ys = (accept, ptr, dmax_ind, dmax, h_row)
         return carry1, ys
 
-    init = (jnp.int32(-1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            jnp.int32(0), jnp.zeros(5, jnp.float32), jnp.zeros(5, jnp.float32),
-            jnp.zeros(2, jnp.float32))
-    (_, _, _, _, _, _, _, _), (acc, ptrs_all, dels_all, peaks_all, h_all) = \
-        lax.scan(step, init, jnp.arange(total_loops, dtype=jnp.int32))
+    return step
 
-    # compact accepted steps into the fixed detection table
-    slot = jnp.cumsum(acc.astype(jnp.int32)) - 1
-    count = jnp.minimum(jnp.sum(acc.astype(jnp.int32)), max_det)
-    valid = acc & (slot < max_det)
-    tgt = jnp.where(valid, slot, max_det)
-    ptrs = jnp.zeros(max_det, jnp.int32).at[tgt].set(ptrs_all, mode="drop")
-    delays = jnp.zeros(max_det, jnp.int32).at[tgt].set(dels_all, mode="drop")
-    peaks = jnp.zeros(max_det, jnp.float32).at[tgt].set(
-        peaks_all.astype(jnp.float32), mode="drop")
-    chan = jnp.zeros((max_det, nfft), jnp.complex64).at[tgt].set(
-        h_all, mode="drop")
 
-    # ---- data demod, vmapped over the detection table (:276-309) ----------
-    det_valid = jnp.arange(max_det) < count
-    starts = ptrs[:, None] + (jnp.arange(nd)[None, :] + 1) * rx_b_len
-    ok = det_valid[:, None] & (starts + nfft <= n)
+def demod_track_table(cfg: OFDMConfig, x: jnp.ndarray, ptrs_local, delays,
+                      det_valid, readable_local):
+    """Data demod vmapped over a tracker detection table
+    (RxBasebandSystem.rx_data_demod :276-309) — shared by the batch and
+    streaming paths.  ptrs_local are relative to x[0]."""
+    nfft = cfg.nfft
+    rx_b_len = cfg.rx_b_len
+    nd = cfg.synch_dat[1]
+    _, data_bins = used_bins(nfft, cfg.num_data_bins)
+    data_bins = np.asarray(data_bins)
+    max_det = ptrs_local.shape[0]
+
+    starts = ptrs_local[:, None] + (jnp.arange(nd)[None, :] + 1) * rx_b_len
+    ok = det_valid[:, None] & (starts + nfft <= readable_local)
     idx = jnp.where(ok, starts, 0)[..., None] + jnp.arange(nfft)[None, None, :]
     f = jnp.fft.fft(x[idx], nfft, axis=-1)
     fd = f[..., data_bins]                              # [max_det, nd, B]
@@ -182,6 +200,34 @@ def track_frame(cfg: OFDMConfig, x: jnp.ndarray, total_loops: int,
     rot = jnp.exp((1j * 2.0 * jnp.pi / nfft) *
                   (delays[:, None, None] + 1).astype(jnp.float32) *
                   jnp.asarray(data_bins, jnp.float32)[None, None, :])
+    return fd, rot, ok
+
+
+def track_frame(cfg: OFDMConfig, x: jnp.ndarray, total_loops: int,
+                max_det: int) -> TrackResult:
+    nfft = cfg.nfft
+    nd = cfg.synch_dat[1]
+    n = x.shape[0]
+    snr = cfg.snr_linear
+    _, data_bins = used_bins(nfft, cfg.num_data_bins)
+    data_bins = np.asarray(data_bins)
+
+    step = make_tracker_step(cfg, x, 0, n)
+    _, (acc, ptrs_all, dels_all, peaks_all, h_all) = \
+        lax.scan(step, tracker_init_carry(), None, length=total_loops)
+
+    # compact accepted steps into the fixed detection table
+    (ptrs, delays, peaks), count = sync.emit_slots(
+        acc, (ptrs_all, dels_all, peaks_all.astype(jnp.float32)), max_det)
+    slot = jnp.cumsum(acc.astype(jnp.int32)) - 1
+    valid = acc & (slot < max_det)
+    tgt = jnp.where(valid, slot, max_det)
+    chan = jnp.zeros((max_det, nfft), jnp.complex64).at[tgt].set(
+        h_all, mode="drop")
+
+    # ---- data demod, vmapped over the detection table (:276-309) ----------
+    det_valid = jnp.arange(max_det) < count
+    fd, rot, ok = demod_track_table(cfg, x, ptrs, delays, det_valid, n)
     h_d = chan[:, data_bins][:, None, :]
     eq = (fd * rot * jnp.conj(h_d)) / (jnp.abs(h_d) ** 2 + 1.0 / snr)
     p1 = jnp.mean(jnp.abs(eq) ** 2, axis=-1, keepdims=True)

@@ -109,6 +109,51 @@ def first_lock(cfg: OFDMConfig, corr_abs: jnp.ndarray):
     return ptr, dmax_ind[first], dmax_val[first], found, first
 
 
+def refractory_scan(cfg: OFDMConfig, crossing: jnp.ndarray,
+                    ptrs: jnp.ndarray, last_ptr=None, any_yet=None):
+    """The sequential detection rule of gr-RXOFDM as a lax.scan, with an
+    explicit initial carry so chunked streams continue it across chunk
+    boundaries (synch_and_chan_est.py:170-173): accept a crossing iff
+    ptr - last_accepted_ptr > 2*cp + nfft, or no detection has occurred yet.
+
+    Returns (accepted [p] bool, (last_ptr, any_yet) final carry).
+    """
+    refractory = 2 * cfg.cp_len + cfg.nfft
+    if last_ptr is None:
+        last_ptr = jnp.int32(0)
+    if any_yet is None:
+        any_yet = jnp.bool_(False)
+
+    def body(carry, inp):
+        lp, ay = carry
+        cross, ptr = inp
+        ok = cross & ((ptr - lp > refractory) | ~ay)
+        return (jnp.where(ok, ptr, lp), ay | ok), ok
+
+    carry, accepted = lax.scan(
+        body, (jnp.asarray(last_ptr, jnp.int32), jnp.asarray(any_yet)),
+        (crossing, ptrs.astype(jnp.int32)))
+    return accepted, carry
+
+
+def emit_slots(accepted: jnp.ndarray, sources: tuple, max_det: int):
+    """Scatter accepted trials into a fixed [max_det] detection table.
+
+    sources: tuple of [p]-shaped arrays.  Returns (outs tuple of [max_det],
+    count) — overflow detections beyond max_det are dropped (the reference's
+    table is likewise fixed at max_num_corr rows)."""
+    slot = jnp.cumsum(accepted.astype(jnp.int32)) - 1
+    count = jnp.minimum(jnp.sum(accepted.astype(jnp.int32)), max_det)
+    valid = accepted & (slot < max_det)
+    tgt = jnp.where(valid, slot, max_det)
+
+    def emit(src):
+        out = jnp.zeros(max_det, src.dtype)
+        return out.at[tgt].set(src, mode="drop")
+
+    return tuple(emit(s) for s in sources), count
+
+
 def refractory_detect(cfg: OFDMConfig, dmax_val: jnp.ndarray,
                       extras: tuple, max_det: int):
     """Gate + refractory selection over per-trial peaks, generic payload.
@@ -116,8 +161,7 @@ def refractory_detect(cfg: OFDMConfig, dmax_val: jnp.ndarray,
     dmax_val: [p] peak magnitude per trial (already maxed over delay/fo/...).
     extras: tuple of [p]-shaped arrays to emit alongside each detection.
     Implements the multi-detection rule of gr-RXOFDM
-    (synch_and_chan_est.py:167-179): accept a crossing iff
-    ptr - last_accepted_ptr > 2*cp + nfft, or it is the first.
+    (synch_and_chan_est.py:167-179).
 
     Returns (ptrs [max_det] i32, extras_out tuple of [max_det], count).
     """
@@ -125,29 +169,10 @@ def refractory_detect(cfg: OFDMConfig, dmax_val: jnp.ndarray,
     crossing = dmax_val > gate
     n = dmax_val.shape[0]
     ptrs = (cfg.cp_len + cfg.stride * jnp.arange(n)).astype(jnp.int32)
-    refractory = 2 * cfg.cp_len + cfg.nfft
-
-    def body(carry, inp):
-        last_ptr, any_yet = carry
-        cross, ptr = inp
-        ok = cross & ((ptr - last_ptr > refractory) | ~any_yet)
-        return (jnp.where(ok, ptr, last_ptr), any_yet | ok), ok
-
-    (_, _), accepted = lax.scan(
-        body, (jnp.int32(0), jnp.bool_(False)), (crossing, ptrs))
-
-    slot = jnp.cumsum(accepted.astype(jnp.int32)) - 1
-    count = jnp.minimum(jnp.sum(accepted.astype(jnp.int32)), max_det)
-    valid = accepted & (slot < max_det)
-    tgt = jnp.where(valid, slot, max_det)
-
-    def emit(src, fill_dtype):
-        out = jnp.zeros(max_det, fill_dtype)
-        return out.at[tgt].set(src.astype(fill_dtype), mode="drop")
-
-    out_ptr = emit(ptrs, jnp.int32)
-    outs = tuple(emit(e, e.dtype) for e in extras)
-    return out_ptr, outs, count
+    accepted, _ = refractory_scan(cfg, crossing, ptrs)
+    outs, count = emit_slots(
+        accepted, (ptrs,) + tuple(e for e in extras), max_det)
+    return outs[0], outs[1:], count
 
 
 def estimate_channel(cfg: OFDMConfig, spectrum: jnp.ndarray, delay_idx):

@@ -307,6 +307,124 @@ def rx_frame(cfg: OFDMConfig, in0: np.ndarray, perfect_chan_est: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# RX — continuous multi-detection stream (gr-RXOFDM R1 work() semantics)
+# ---------------------------------------------------------------------------
+
+
+def rx_stream(cfg: OFDMConfig, in0: np.ndarray, max_det: int = 100):
+    """Continuous multi-frame RX: every gate crossing is a detection; the
+    channel estimate is refreshed PER DETECTION and that detection's pattern
+    block is demodulated with its own estimate — forever, over the whole
+    buffer.
+
+    Literal port of the gr-RXOFDM flagship block's work() run over a long
+    stream (gr-RXOFDM/python/synch_and_chan_est.py):
+      * stage A :144-221 — sliding delay-search correlation, detection gate
+        0.4*L with refractory window 2*cp+nfft against the LAST accepted
+        pointer (:170-173), a `time_synch_ref` multi-detection table
+        (max_num_corr=100 rows, :86-88) and a fresh channel estimate stored
+        per detection (`est_chan_freq_P[cor_obs]`, :181-192);
+      * stage B :224-250 — per detection P, demodulate the data following
+        `time_synch_ref[P][0] + M[0]*rx_b_len` with detection P's own channel
+        row and delay.  (The shipped block FFTs only the first data symbol;
+        here all synch_dat[1] data symbols of the detection's pattern block
+        are demodulated — the block-repetition semantics of the utsa variant,
+        gr-utsa_ofdm/python/SynchAndChanEst.py:221-248.)
+
+    Unlike :func:`rx_frame` (single lock + ``break``), this is the semantics
+    the D1 loopback app actually exercises with the TX pickle replayed
+    continuously: re-acquisition tracks timing drift and channel changes.
+
+    Returns a dict with
+      ptrs [n_det], delays [n_det], peaks [n_det],
+      chans [n_det, nfft]   (freq-domain estimate per detection),
+      phasors [n_det, synch_dat[1], num_data_bins],
+      demod_ok [n_det] bool (stage-B window fit — False near buffer end).
+    """
+    nfft, cp = cfg.nfft, cfg.cp_len
+    m0, nd = cfg.m_synch, cfg.synch_dat[1]
+    rx_b_len = cfg.rx_b_len
+    _, synch_bins_p = used_bins(nfft, cfg.num_synch_bins)
+    _, data_bins_p = used_bins(nfft, cfg.num_data_bins)
+    synch_bins_p = list(synch_bins_p)
+    data_bins_p = list(data_bins_p)
+    zc = zc_for_config(cfg)
+    snr_lin = cfg.snr_linear
+    del_mat_exp = np.tile(np.exp((1j * 2.0 * np.pi / nfft) *
+                                 np.outer(np.arange(cp + 1), synch_bins_p)),
+                          (1, m0))
+    stride = cfg.stride
+    start_samp = cp
+    gate = cfg.detection_gate * m0 * cfg.num_synch_bins
+    refractory = 2 * cp + nfft
+
+    ptrs, delays, peaks, chans = [], [], [], []
+    last_ptr = 0
+    n_trials = max(0, (len(in0) - (m0 * rx_b_len + nfft + start_samp) - 1)
+                   // stride + 1)
+
+    # ---- stage A: every un-refractory gate crossing is a detection --------
+    for P in range(n_trials):
+        ptr = P * stride + start_samp
+        win = np.zeros(m0 * nfft, dtype=complex)
+        for ll in range(m0):
+            a = rx_b_len * ll + ptr
+            win[ll * nfft:(ll + 1) * nfft] = in0[a:a + nfft]
+        synchdat0 = np.zeros(m0 * cfg.num_synch_bins, dtype=complex)
+        for ll in range(m0):
+            f = np.fft.fft(win[ll * nfft:(ll + 1) * nfft], nfft)
+            synchdat0[ll * cfg.num_synch_bins:(ll + 1) * cfg.num_synch_bins] \
+                = f[synch_bins_p]
+        p_est = np.sqrt(len(synchdat0) / np.sum(synchdat0 * np.conj(synchdat0)))
+        synchdat = p_est * synchdat0
+        del_mat = del_mat_exp @ (synchdat * np.conj(zc))
+        dmax_ind = int(np.argmax(np.abs(del_mat)))
+        dmax_val = float(np.max(np.abs(del_mat)))
+        if dmax_val > gate and ((ptr - last_ptr > refractory) or not ptrs):
+            if len(ptrs) >= max_det:
+                break
+            last_ptr = ptr
+            data_recov = del_mat_exp[dmax_ind] * synchdat
+            tmp_v1 = (data_recov * np.conj(zc)) / (1.0 / snr_lin + 1.0)
+            chan_est = np.mean(np.reshape(tmp_v1, (m0, cfg.num_synch_bins)),
+                               axis=0)
+            chan_full = np.zeros(nfft, dtype=complex)
+            chan_full[synch_bins_p] = chan_est
+            ptrs.append(ptr)
+            delays.append(dmax_ind)
+            peaks.append(dmax_val)
+            chans.append(chan_full)
+
+    # ---- stage B: demod each detection's pattern block with ITS channel ---
+    n_det = len(ptrs)
+    phasors = np.zeros((n_det, nd, cfg.num_data_bins), dtype=complex)
+    demod_ok = np.zeros(n_det, dtype=bool)
+    for i in range(n_det):
+        data_ptr = ptrs[i] + m0 * rx_b_len
+        if data_ptr + (nd - 1) * rx_b_len + nfft > len(in0):
+            continue
+        demod_ok[i] = True
+        chan_est_dat = chans[i][data_bins_p]
+        eq_gain = np.conj(chan_est_dat) / (1.0 / snr_lin +
+                                           chan_est_dat * np.conj(chan_est_dat))
+        rot = np.exp((1j * 2.0 * np.pi / nfft) * delays[i] *
+                     np.array(data_bins_p))
+        for N in range(nd):
+            s = data_ptr + rx_b_len * N
+            t_vec = np.fft.fft(in0[s:s + nfft], nfft)
+            freq_data_0 = t_vec[data_bins_p]
+            p_est0 = np.sqrt(len(freq_data_0) /
+                             np.dot(freq_data_0, np.conj(freq_data_0)))
+            phasors[i, N] = eq_gain * (freq_data_0 * p_est0) * rot
+    return dict(ptrs=np.asarray(ptrs, np.int64),
+                delays=np.asarray(delays, np.int64),
+                peaks=np.asarray(peaks),
+                chans=np.asarray(chans) if n_det else
+                np.zeros((0, nfft), complex),
+                phasors=phasors, demod_ok=demod_ok)
+
+
+# ---------------------------------------------------------------------------
 # Bit recovery — QPSK soft LLR demap
 # ---------------------------------------------------------------------------
 

@@ -158,6 +158,306 @@ def stream_step(cfg: OFDMConfig, state: StreamState, chunk: jnp.ndarray,
     return new_state, out
 
 
+# ---------------------------------------------------------------------------
+# Continuous multi-detection streaming (flagship gr-RXOFDM R1 semantics)
+# ---------------------------------------------------------------------------
+#
+# The single-lock stream above replicates the offline R10 block.  The block
+# the D1 loopback app runs forever is different: per work() call it keeps a
+# multi-detection `time_synch_ref` table, REFRESHES the channel estimate per
+# detection, and demodulates each detection's data with its own estimate
+# (gr-RXOFDM/python/synch_and_chan_est.py:167-179, :181-221, :224-250) — so
+# it re-acquires after timing drift and channel changes.  Here that becomes a
+# jitted chunk step with a tiny carry:
+#
+#   hist      — the trailing `lag` samples (overlap-save halo), sized so that
+#               every trial processed in a chunk has its FULL reach — sync
+#               windows AND its pattern block's data symbols — inside
+#               [hist, chunk].  Trials are therefore processed `lag` samples
+#               behind the newest input (fixed latency), and every detection
+#               is emitted exactly once with its demod complete.
+#   last_det_ptr/any_det — the refractory rule's carry, so detections are
+#               accepted identically to one global scan over the whole stream.
+#
+# Chunked output == rx_detections on the concatenated stream, bit-for-bit
+# (tests/test_stream_rx.py).
+
+
+def reacq_lag(cfg: OFDMConfig) -> int:
+    """History length: cp + the max reach of a trial (its last data symbol),
+    rounded up to a stride multiple so chunk trial grids stay aligned."""
+    reach = (cfg.pattern_len - 1) * cfg.rx_b_len + cfg.nfft
+    need = cfg.cp_len + reach
+    s = max(1, cfg.stride)
+    return -(-need // s) * s
+
+
+def reacq_det_max(cfg: OFDMConfig, chunk_len: int) -> int:
+    """Upper bound on detections per chunk under the refractory rule."""
+    return chunk_len // (2 * cfg.cp_len + cfg.nfft) + 1
+
+
+class ReacqState(NamedTuple):
+    hist: jnp.ndarray        # [lag] trailing samples
+    base: jnp.ndarray        # global sample index of the next chunk's start
+    real_end: jnp.ndarray    # global count of real (non-flush) samples
+    last_det_ptr: jnp.ndarray
+    any_det: jnp.ndarray
+
+
+class ReacqChunkOut(NamedTuple):
+    ptrs: jnp.ndarray        # [det_max] global detection pointers
+    delays: jnp.ndarray      # [det_max]
+    peaks: jnp.ndarray       # [det_max]
+    valid: jnp.ndarray       # [det_max] bool
+    demod_ok: jnp.ndarray    # [det_max] bool — data window inside real samples
+    chans: jnp.ndarray       # [det_max, nfft] per-detection channel estimate
+    phasors: jnp.ndarray     # [det_max, nd, num_data_bins]
+    hard_bits: jnp.ndarray   # [det_max, nd*num_data_bins*bits_per_bin]
+
+
+def reacq_init(cfg: OFDMConfig) -> ReacqState:
+    return ReacqState(
+        hist=jnp.zeros(reacq_lag(cfg), jnp.complex64),
+        base=jnp.int32(0),
+        real_end=jnp.int32(0),
+        last_det_ptr=jnp.int32(0),
+        any_det=jnp.bool_(False))
+
+
+def reacq_step(cfg: OFDMConfig, state: ReacqState, chunk: jnp.ndarray,
+               n_real, det_max: int, fast=None
+               ) -> tuple[ReacqState, ReacqChunkOut]:
+    """One chunk of the continuous multi-detection receiver.
+
+    Processes the `chunk_len // stride` trials whose pointers fall in
+    [base - lag + cp, base - lag + cp + chunk_len) — i.e. `lag` samples
+    behind the input — so each trial's whole pattern reach is readable in
+    ext = [hist, chunk].  The refractory rule continues across chunks via
+    the carried (last_det_ptr, any_det).
+    """
+    from ..models import stream_rx
+
+    chunk_len = chunk.shape[0]
+    lag = reacq_lag(cfg)
+    stride = max(1, cfg.stride)
+    assert chunk_len % stride == 0, "chunk must be stride-aligned"
+    ext = jnp.concatenate([state.hist, chunk])
+    ext_start = state.base - lag                 # global coord of ext[0]
+
+    t_per = chunk_len // stride
+    dmax_val, dmax_ind = stream_rx.detect_trials(cfg, ext, t_per, fast)
+    local_ptrs = (cfg.cp_len + stride * jnp.arange(t_per)).astype(jnp.int32)
+    global_ptrs = ext_start + local_ptrs
+    gate = cfg.detection_gate * cfg.m_synch * cfg.num_synch_bins
+    # trials before the stream head (chunk 0's warm-up region) don't exist
+    crossing = (dmax_val > gate) & (global_ptrs >= cfg.cp_len)
+
+    accepted, (last_ptr, any_det) = sync.refractory_scan(
+        cfg, crossing, global_ptrs, state.last_det_ptr, state.any_det)
+    (g_ptrs, l_ptrs, delays, peaks), count = sync.emit_slots(
+        accepted, (global_ptrs, local_ptrs, dmax_ind,
+                   dmax_val.astype(jnp.float32)), det_max)
+    valid = jnp.arange(det_max) < count
+
+    real_end = state.real_end + n_real
+    chans, phasors, demod_ok = stream_rx.demod_detections(
+        cfg, ext, l_ptrs, delays, valid, real_end - ext_start)
+    hard = stream_rx.hard_decide(cfg, phasors)
+
+    new_state = ReacqState(hist=ext[-lag:], base=state.base + chunk_len,
+                           real_end=real_end, last_det_ptr=last_ptr,
+                           any_det=any_det)
+    out = ReacqChunkOut(ptrs=jnp.where(valid, g_ptrs, -1), delays=delays,
+                        peaks=peaks, valid=valid, demod_ok=demod_ok,
+                        chans=chans, phasors=phasors, hard_bits=hard)
+    return new_state, out
+
+
+class ReacqStreamingRx:
+    """Host-side driver for the continuous multi-detection receiver.
+
+    The GNU Radio analog: the D1 loopback's RX thread calling
+    synch_and_chan_est.work() forever — push(chunk) is one work() call,
+    finish() flushes the lag so trailing detections resolve.
+    """
+
+    def __init__(self, cfg: OFDMConfig, chunk_len: int, fast=None):
+        stride = max(1, cfg.stride)
+        assert chunk_len % stride == 0
+        self.cfg = cfg
+        self.chunk_len = chunk_len
+        self.det_max = reacq_det_max(cfg, chunk_len)
+        self.state = reacq_init(cfg)
+        self._step = jax.jit(functools.partial(
+            reacq_step, cfg, det_max=self.det_max, fast=fast))
+
+    def push(self, chunk, n_real: int | None = None) -> ReacqChunkOut:
+        chunk = jnp.asarray(chunk, jnp.complex64)
+        assert chunk.shape[0] == self.chunk_len
+        if n_real is None:
+            n_real = self.chunk_len
+        self.state, out = self._step(self.state, chunk, jnp.int32(n_real))
+        return out
+
+    def finish(self) -> list[ReacqChunkOut]:
+        """Flush the lag with zero chunks so trailing trials resolve."""
+        outs = []
+        flushed = 0
+        while flushed < reacq_lag(self.cfg):
+            outs.append(self.push(
+                jnp.zeros(self.chunk_len, jnp.complex64), n_real=0))
+            flushed += self.chunk_len
+        return outs
+
+    # -- checkpoint/resume (same npz convention as StreamingRx) ------------
+    def save_state(self, path) -> None:
+        s = self.state
+        np.savez_compressed(
+            path,
+            hist_re=np.asarray(s.hist.real), hist_im=np.asarray(s.hist.imag),
+            base=np.asarray(s.base), real_end=np.asarray(s.real_end),
+            last_det_ptr=np.asarray(s.last_det_ptr),
+            any_det=np.asarray(s.any_det))
+
+    def load_state(self, path) -> None:
+        with np.load(path) as z:
+            self.state = ReacqState(
+                hist=jnp.asarray(z["hist_re"] + 1j * z["hist_im"],
+                                 jnp.complex64),
+                base=jnp.int32(z["base"]),
+                real_end=jnp.int32(z["real_end"]),
+                last_det_ptr=jnp.int32(z["last_det_ptr"]),
+                any_det=jnp.bool_(z["any_det"]))
+
+
+# ---------------------------------------------------------------------------
+# Streaming tracker (R6 SynchronizeAndEstimate work() semantics)
+# ---------------------------------------------------------------------------
+#
+# The GR tracker block (LEGACY/gr-ofdm-rx/python/SynchronizeAndEstimate.py)
+# carries its pointer state machine across work() calls: search by stride,
+# five nominal advances, then least-squares drift prediction.  Here the same
+# scan step as the batch tracker (models/tracker.py:make_tracker_step) runs
+# over chunks with the carry held in the stream state; fire-or-stall
+# semantics make the chunked run accept exactly the batch run's detections.
+
+
+def tracker_lag(cfg: OFDMConfig) -> int:
+    """History: the pattern reach plus pointer-regression slack (the lstsq
+    prediction can step back by ~cp/4; give it 2*cp)."""
+    return cfg.pattern_len * cfg.rx_b_len + cfg.nfft + 2 * cfg.cp_len
+
+
+class TrackStreamState(NamedTuple):
+    hist: jnp.ndarray
+    base: jnp.ndarray
+    real_end: jnp.ndarray
+    carry: tuple                 # the tracker scan carry (9 leaves)
+
+
+class TrackChunkOut(NamedTuple):
+    ptrs: jnp.ndarray            # [det_max] global detection pointers (-1 pad)
+    delays: jnp.ndarray
+    peaks: jnp.ndarray
+    valid: jnp.ndarray
+    chans: jnp.ndarray           # [det_max, nfft]
+    phasors: jnp.ndarray         # [det_max, nd, num_data_bins]
+    hard_bits: jnp.ndarray       # [det_max, nd*num_data_bins*bits_per_bin]
+
+
+def track_stream_init(cfg: OFDMConfig) -> TrackStreamState:
+    from ..models import tracker as trk
+
+    return TrackStreamState(
+        hist=jnp.zeros(tracker_lag(cfg), jnp.complex64),
+        base=jnp.int32(0),
+        real_end=jnp.int32(0),
+        carry=trk.tracker_init_carry())
+
+
+def track_stream_step(cfg: OFDMConfig, state: TrackStreamState,
+                      chunk: jnp.ndarray, n_real, slots: int, det_max: int
+                      ) -> tuple[TrackStreamState, TrackChunkOut]:
+    from ..models import stream_rx
+    from ..models import tracker as trk
+
+    chunk_len = chunk.shape[0]
+    lag = tracker_lag(cfg)
+    ext = jnp.concatenate([state.hist, chunk])
+    ext_start = state.base - lag
+    ext_end = state.base + chunk_len
+    real_end = state.real_end + n_real
+    m0, nd = cfg.m_synch, cfg.synch_dat[1]
+    # fire when the sync window fits the REAL stream (matching the batch
+    # fits-check) and the pattern's data span is readable in ext
+    fire_limit = jnp.minimum(
+        real_end, ext_end - (nd - m0 + 1) * cfg.rx_b_len + 1)
+
+    step = trk.make_tracker_step(cfg, ext, ext_start, fire_limit)
+    carry, (acc, ptrs_all, dels_all, peaks_all, h_all) = lax.scan(
+        step, state.carry, None, length=slots)
+
+    (g_ptrs, delays, peaks), count = sync.emit_slots(
+        acc, (ptrs_all, dels_all, peaks_all.astype(jnp.float32)), det_max)
+    slot = jnp.cumsum(acc.astype(jnp.int32)) - 1
+    ok_slot = acc & (slot < det_max)
+    tgt = jnp.where(ok_slot, slot, det_max)
+    chans = jnp.zeros((det_max, cfg.nfft), jnp.complex64).at[tgt].set(
+        h_all, mode="drop")
+    valid = jnp.arange(det_max) < count
+
+    ptrs_local = jnp.where(valid, g_ptrs - ext_start, 0)
+    fd, rot, ok = trk.demod_track_table(cfg, ext, ptrs_local, delays, valid,
+                                        real_end - ext_start)
+    h_d = chans[:, np.asarray(used_bins(cfg.nfft, cfg.num_data_bins)[1])]
+    h_d = h_d[:, None, :]
+    eq = (fd * rot * jnp.conj(h_d)) / (jnp.abs(h_d) ** 2 +
+                                       1.0 / cfg.snr_linear)
+    p1 = jnp.mean(jnp.abs(eq) ** 2, axis=-1, keepdims=True)
+    phasors = eq / jnp.sqrt(jnp.maximum(p1, 1e-30)) * ok[..., None]
+    hard = stream_rx.hard_decide(cfg, phasors)
+
+    new_state = TrackStreamState(hist=ext[-lag:], base=state.base + chunk_len,
+                                 real_end=real_end, carry=carry)
+    out = TrackChunkOut(ptrs=jnp.where(valid, g_ptrs, -1), delays=delays,
+                        peaks=peaks, valid=valid, chans=chans,
+                        phasors=phasors, hard_bits=hard)
+    return new_state, out
+
+
+class TrackerStreamingRx:
+    """Host-side driver for the streaming tracker (R6 semantics)."""
+
+    def __init__(self, cfg: OFDMConfig, chunk_len: int):
+        from ..models import tracker as trk
+
+        self.cfg = cfg
+        self.chunk_len = chunk_len
+        self.slots = chunk_len // trk.tracker_stride(cfg) + 4
+        self.det_max = chunk_len // (2 * cfg.cp_len + cfg.nfft) + 2
+        self.state = track_stream_init(cfg)
+        self._step = jax.jit(functools.partial(
+            track_stream_step, cfg, slots=self.slots, det_max=self.det_max))
+
+    def push(self, chunk, n_real: int | None = None) -> TrackChunkOut:
+        chunk = jnp.asarray(chunk, jnp.complex64)
+        assert chunk.shape[0] == self.chunk_len
+        if n_real is None:
+            n_real = self.chunk_len
+        self.state, out = self._step(self.state, chunk, jnp.int32(n_real))
+        return out
+
+    def finish(self) -> list[TrackChunkOut]:
+        outs = []
+        flushed = 0
+        while flushed < tracker_lag(self.cfg) + self.chunk_len:
+            outs.append(self.push(
+                jnp.zeros(self.chunk_len, jnp.complex64), n_real=0))
+            flushed += self.chunk_len
+        return outs
+
+
 class StreamingRx:
     """Host-side driver holding the jitted step + device-resident state.
 

@@ -68,3 +68,49 @@ def test_mimo_channel_estimate_matches_truth():
     ratio = hf_est[:, :, b] / hf_true[:, :, b]
     ratio = ratio / ratio[0, 0]
     np.testing.assert_allclose(ratio, np.ones((2, 2)), atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# STCode (Alamouti) — the other declared MIMO_method (RxBasebandSystem:313-318)
+# ---------------------------------------------------------------------------
+
+
+def test_stcode_zero_ber_fading():
+    cfg = _cfg()
+    step = mimo.make_stcode_chain(cfg, channel="Fading")
+    bits = jnp.asarray(np.random.default_rng(3).integers(
+        0, 2, cfg.num_bits, dtype=np.int32))
+    ber, found, lock = step(bits, jnp.int32(3))
+    assert bool(found) and int(lock) == cfg.cp_len
+    assert float(ber) == 0.0
+
+
+def test_stcode_works_on_rank1_channel():
+    """Alamouti needs no spatial separability — it decodes through the
+    rank-1 'Ideal' matrix where SpMult provably cannot."""
+    cfg = _cfg()
+    step = mimo.make_stcode_chain(cfg, channel="Ideal")
+    bits = jnp.asarray(np.random.default_rng(4).integers(
+        0, 2, cfg.num_bits, dtype=np.int32))
+    ber, found, _ = step(bits, jnp.int32(4))
+    assert bool(found)
+    assert float(ber) == 0.0
+
+
+def test_stcode_beats_spmult_at_matched_rate():
+    """Matched spectral efficiency (STC QAM16 == SpMult QPSK, 4 bits per bin
+    per symbol): the diversity-combined STC link sustains a noise level where
+    rank-deficient-ish stream separation already errors."""
+    snr = 18.0
+    cfg_stc = _cfg(snr_db=snr, modulation="QAM16")
+    cfg_sp = _cfg(snr_db=snr, modulation="QPSK")
+    stc = mimo.make_stcode_chain(cfg_stc, channel="Fading")
+    sp = mimo.make_mimo_chain(cfg_sp, channel="Fading")
+    rng = np.random.default_rng(5)
+    b_stc = jnp.asarray(rng.integers(0, 2, cfg_stc.num_bits, dtype=np.int32))
+    b_sp = jnp.asarray(rng.integers(0, 2, (2, cfg_sp.num_bits),
+                                    dtype=np.int32))
+    ber_stc = np.mean([float(stc(b_stc, jnp.int32(s))[0]) for s in range(6)])
+    ber_sp = np.mean([float(np.asarray(sp(b_sp, jnp.int32(s))[0]).mean())
+                      for s in range(6)])
+    assert ber_stc < ber_sp
