@@ -92,14 +92,21 @@ def rx_frame(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
         # synch lock still supplies timing; H comes from the scattered
         # pilots inside the data symbols (ops/pilots.py)
         from ..ops import pilots
-        phasors = pilots.equalize_data_symbols_pilot(
-            cfg, x, ptr, delay_idx, num_patterns)
+        phasors, h_data = pilots.equalize_data_symbols_pilot(
+            cfg, x, ptr, delay_idx, num_patterns, return_chan=True)
     else:
         phasors = sync.equalize_data_symbols(
             cfg, x, ptr, delay_idx, chan_full, num_patterns)
+        import numpy as _np2
+
+        from ..utils.params import used_bins as _ub2
+        h_data = chan_full[_np2.asarray(_ub2(cfg.nfft, cfg.num_data_bins)[1])]
     if cfg.modulation == "QPSK":
         hard, llr0, llr1 = modulation.qpsk_llr(phasors)
     else:
+        # remove the MMSE amplitude bias before the grid decision (QAM only;
+        # the QPSK path keeps the reference's exact biased output)
+        phasors = phasors * sync.demap_unbias_gain(h_data, cfg.snr_linear)
         hard, llr = modulation.maxlog_llr(phasors, cfg.modulation,
                                           1.0 / cfg.snr_linear)
         llr0, llr1 = -llr, llr

@@ -144,6 +144,10 @@ def demod_detections(cfg: OFDMConfig, ext: jnp.ndarray, ptrs_rel: jnp.ndarray,
     demod_ok = valid & (safe_ptr + (m0 + nd - 1) * cfg.rx_b_len + nfft
                         <= n_readable)
     phasors = fd * rot[:, None, :] * eq[:, None, :] * demod_ok[:, None, None]
+    if cfg.modulation != "QPSK":
+        # MMSE amplitude unbias before QAM grid decisions (models/rxofdm.py)
+        phasors = phasors * sync.demap_unbias_gain(
+            chans[:, data_bins], cfg.snr_linear)[:, None, :]
     return chans, phasors, demod_ok
 
 

@@ -124,14 +124,16 @@ def estimate_channel_from_pilots(cfg: OFDMConfig, fd_pilots: jnp.ndarray,
 
 
 def equalize_data_symbols_pilot(cfg: OFDMConfig, x: jnp.ndarray, lock_ptr,
-                                delay_idx, num_patterns: int) -> jnp.ndarray:
+                                delay_idx, num_patterns: int,
+                                return_chan: bool = False):
     """Pilot-based stage B: FFT + norm + derotate + pilot chan-est + MMSE EQ.
 
     Mirrors ops/sync.py:equalize_data_symbols (the reference stage-B loop,
     TEST/GNU_RADIO_OFFLINE/synch_and_chan_est.py:258-284) but estimates the
     channel from the scattered pilots embedded in the data symbols instead of
     from the synch symbol.  Returns phasors
-    [num_patterns * n_data, num_data_only_bins].
+    [num_patterns * n_data, num_data_only_bins] (and, with ``return_chan``,
+    the interpolated H at the data-only bins).
     """
     _, all_wrapped = used_bins(cfg.nfft, cfg.num_data_bins)
     p_signed, p_wrapped, d_signed, d_wrapped = pilot_bin_plan(cfg)
@@ -162,4 +164,7 @@ def equalize_data_symbols_pilot(cfg: OFDMConfig, x: jnp.ndarray, lock_ptr,
 
     h_d = estimate_channel_from_pilots(cfg, fp)             # [B_data]
     eq = mmse_gain(h_d, cfg.snr_linear)
-    return fd * eq[None, :]
+    out = fd * eq[None, :]
+    if return_chan:
+        return out, h_d
+    return out

@@ -200,6 +200,21 @@ def mmse_gain(chan: jnp.ndarray, snr_lin: float) -> jnp.ndarray:
     return jnp.conj(chan) / (1.0 / snr_lin + jnp.abs(chan) ** 2)
 
 
+def demap_unbias_gain(chan: jnp.ndarray, snr_lin: float) -> jnp.ndarray:
+    """Per-bin real gain removing the MMSE amplitude bias before a QAM demap.
+
+    The reference's MMSE equaliser shrinks each bin by |H|^2/(|H|^2 + 1/SNR)
+    — harmless for the phase-decided QPSK demap it was built for, but fatal
+    for amplitude-decided QAM grids (the BASELINE.json configs 2-4
+    extension).  Multiplying by the inverse bias makes the equalised output
+    an unbiased estimate of the constellation point (equivalently: ZF
+    amplitude with MMSE bookkeeping).  Deterministic given the channel
+    estimate, so chunked and batched demods stay bit-identical.
+    """
+    h2 = jnp.abs(chan) ** 2
+    return (h2 + 1.0 / snr_lin) / jnp.maximum(h2, 1e-30)
+
+
 def equalize_data_symbols(cfg: OFDMConfig, x: jnp.ndarray, lock_ptr,
                           delay_idx, chan_full: jnp.ndarray,
                           num_patterns: int) -> jnp.ndarray:

@@ -145,6 +145,10 @@ def _local_rx(cfg: OFDMConfig, x_local: jnp.ndarray, *, axis: str,
     if cfg.modulation == "QPSK":
         hard, llr0, llr1 = modulation.qpsk_llr(phasors)
     else:
+        # MMSE amplitude unbias before the QAM grid decision — identical to
+        # models/rxofdm.py so sharded == single-device stays bit-exact
+        phasors = phasors * sync.demap_unbias_gain(chan_full[data_bins],
+                                                   cfg.snr_linear)[None, :]
         hard, llr = modulation.maxlog_llr(phasors, cfg.modulation,
                                           1.0 / cfg.snr_linear)
         llr0, llr1 = -llr, llr
