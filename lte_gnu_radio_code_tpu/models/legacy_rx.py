@@ -42,25 +42,24 @@ class LegacyRxResult(NamedTuple):
 def rx_frame_cfo(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
                  fo_range=(0.0,), dsss: int = 1,
                  max_det: int = 100) -> LegacyRxResult:
-    """Multi-detection CFO-search RX over a sample buffer (static shapes)."""
-    bank = cfo_ops.cfo_bank(cfg, fo_range)
-    spectra = cfo_ops.sync_spectra_cfo(cfg, x, n_trials, bank)  # [p,F,L]
-    corr = jnp.abs(cfo_ops.sync_correlate_cfo(cfg, spectra))    # [p,F,D]
+    """Multi-detection CFO-search RX over a sample buffer (static shapes).
 
-    p, F, D = corr.shape
-    flat = corr.reshape(p, F * D)
-    best = jnp.argmax(flat, axis=-1)
-    dmax_val = jnp.max(flat, axis=-1)
-    fo_win = best // D
-    delay_win = best % D
+    The fo axis is scanned with a running max (ops/cfo.py:cfo_search_scan) —
+    peak memory is one candidate's slab, not the [p, F, m, nfft] cube — and
+    the winning spectra are re-derived only at the detections for the channel
+    estimate."""
+    bank = cfo_ops.cfo_bank(cfg, fo_range)
+    dmax_val, delay_win, fo_win = cfo_ops.cfo_search_scan(
+        cfg, x, n_trials, bank)
 
     ptrs, (delays, fo_sel, peaks), count = sync.refractory_detect(
         cfg, dmax_val, (delay_win, fo_win, dmax_val), max_det)
-    trial_of_ptr = (ptrs - cfg.cp_len) // max(1, cfg.stride)
+    fo_sel = fo_sel.astype(jnp.int32)
     valid = jnp.arange(max_det) < count
 
     # channel estimate per detection (vmapped over the table)
-    det_spec = spectra[trial_of_ptr, fo_sel.astype(jnp.int32)]  # [max_det, L]
+    det_spec = cfo_ops.spectra_at_detections(
+        cfg, x, jnp.where(valid, ptrs, 0), fo_sel, bank)    # [max_det, L]
     _, chan_full, _ = jax.vmap(
         lambda s, d: sync.estimate_channel(cfg, s, d))(det_spec, delays)
     chan_full = chan_full * valid[:, None]

@@ -33,6 +33,71 @@ def dsss_code(dsss: int, prime: int = 37) -> np.ndarray:
     return zadoff_chu(dsss, prime, parity_even=(dsss % 2 == 0))
 
 
+def cfo_search_scan(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
+                    bank: np.ndarray):
+    """Running-max CFO hypothesis search — lax.scan over the fo axis.
+
+    Evaluates the same (trial, fo, delay) cube as
+    sync_spectra_cfo+sync_correlate_cfo but holds only ONE fo candidate's
+    spectra at a time (peak memory [p, m, nfft] + [p, L] instead of
+    F x that), so a realistic sweep (the reference's +/-fo ranges,
+    SynchEstAndFO.py:196) at NFFT 256..2048 stays inside HBM/VMEM.
+
+    Tie-breaking matches the flat argmax over the fo-major cube (first fo,
+    then first delay), so results are identical to the materialised search.
+
+    Returns (dmax_val [p] f32, delay_win [p] i32, fo_win [p] i32).
+    """
+    _, synch_bins = used_bins(cfg.nfft, cfg.num_synch_bins)
+    synch_bins = np.asarray(synch_bins)
+    starts = cfg.cp_len + cfg.stride * np.arange(n_trials)
+    offs = (np.arange(cfg.m_synch) * cfg.rx_b_len)[:, None] + \
+        np.arange(cfg.nfft)[None, :]
+    idx = starts[:, None, None] + offs[None, :, :]
+    win = x[idx]                                            # [p, m, nfft]
+    zc = jnp.asarray(zc_for_config(cfg))
+    dse = jnp.asarray(delay_search_matrix(cfg))             # [D, L]
+
+    def body(carry, fo_row):
+        best_val, best_delay, best_fo, k = carry
+        mixed = win * fo_row[None, None, :]
+        f = jnp.fft.fft(mixed, cfg.nfft, axis=-1)
+        s = f[..., synch_bins].reshape(n_trials, -1)        # [p, L]
+        power = jnp.sum(jnp.abs(s) ** 2, axis=-1, keepdims=True)
+        s = s * jnp.sqrt(s.shape[-1] / jnp.maximum(power, 1e-30))
+        corr = jnp.abs(jnp.einsum("pl,dl->pd", s * jnp.conj(zc)[None, :],
+                                  dse, precision=lax.Precision.HIGHEST))
+        val = jnp.max(corr, axis=-1)
+        dly = jnp.argmax(corr, axis=-1).astype(jnp.int32)
+        upd = val > best_val                                # first fo wins ties
+        return (jnp.where(upd, val, best_val),
+                jnp.where(upd, dly, best_delay),
+                jnp.where(upd, k, best_fo), k + 1), None
+
+    init = (jnp.full(n_trials, -jnp.inf, jnp.float32),
+            jnp.zeros(n_trials, jnp.int32),
+            jnp.zeros(n_trials, jnp.int32), jnp.int32(0))
+    (best_val, best_delay, best_fo, _), _ = lax.scan(
+        body, init, jnp.asarray(bank))
+    return best_val, best_delay, best_fo
+
+
+def spectra_at_detections(cfg: OFDMConfig, x: jnp.ndarray, ptrs: jnp.ndarray,
+                          fo_sel: jnp.ndarray, bank: np.ndarray) -> jnp.ndarray:
+    """Re-derive the power-normalised synch spectra ONLY at the detections,
+    each mixed with its winning CFO candidate — [max_det, m*L].  Used for the
+    per-detection channel estimate after the scan search."""
+    _, synch_bins = used_bins(cfg.nfft, cfg.num_synch_bins)
+    offs = (np.arange(cfg.m_synch) * cfg.rx_b_len)[:, None] + \
+        np.arange(cfg.nfft)[None, :]
+    idx = ptrs[:, None, None] + jnp.asarray(offs)[None]     # [d, m, nfft]
+    win = x[idx] * jnp.asarray(bank)[fo_sel][:, None, :]
+    f = jnp.fft.fft(win, cfg.nfft, axis=-1)
+    s = f[..., np.asarray(synch_bins)].reshape(ptrs.shape[0], -1)
+    power = jnp.sum(jnp.abs(s) ** 2, axis=-1, keepdims=True)
+    return s * jnp.sqrt(s.shape[-1] / jnp.maximum(power, 1e-30))
+
+
 def sync_spectra_cfo(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
                      bank: np.ndarray) -> jnp.ndarray:
     """Power-normalised synch-bin spectra for every (trial, fo) pair.

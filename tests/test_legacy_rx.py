@@ -86,3 +86,25 @@ def test_dsss_spread_symbols_roundtrip():
     from lte_gnu_radio_code_tpu.ops.cfo import dsss_despread
     rec = np.asarray(dsss_despread(jnp.asarray(chips, jnp.complex64), dsss))
     np.testing.assert_allclose(rec, syms, atol=1e-6)
+
+
+@pytest.mark.parametrize("case", sorted(CFO_CASES))
+def test_cfo_recovery_full_case_table(case):
+    """Every hard-coded SynchEstAndFO case (all 10, NFFT 64/128/256), with an
+    injected CFO and a realistic 11-candidate sweep (the fo axis is
+    lax.scan-ed, so NFFT-256 x 11 candidates stays at single-candidate
+    memory).  The strongest detection must recover the injection to within
+    one candidate step (sub-bin residuals at gate-crossing trials logically
+    tie adjacent candidates — reference behaviour)."""
+    cfg = config_from_case(CFO_CASES, case, snr_db=1e8)
+    inject = 1500.0
+    bits, rx = _make_buffer(cfg, seed=case, cfo_hz=inject)
+    fo_range = np.linspace(-7500, 7500, 11)               # step 1500 Hz
+    r = legacy_rx.make_legacy_rx(cfg, len(rx),
+                                 fo_range=tuple(float(f) for f in fo_range),
+                                 max_det=24)(jnp.asarray(rx, jnp.complex64))
+    n = int(r.count)
+    assert n >= cfg.num_patterns, (case, n, cfg.num_patterns)
+    best = int(np.argmax(np.asarray(r.peaks[:n])))
+    picked = fo_range[int(np.asarray(r.fo_idx[best]))]
+    assert abs(picked + inject) <= 1500.0, (case, picked)
