@@ -191,6 +191,43 @@ def test_tracker_stream_equals_batch(faded):
     np.testing.assert_array_equal(hard.reshape(nb, -1), bhard)
 
 
+@pytest.mark.parametrize("n_shards,chunk_len", [(2, 1920), (4, 1920),
+                                                (8, 4800)])
+def test_sharded_streaming_equals_batch(faded, n_shards, chunk_len):
+    """Chunked AND time-sharded == single-device batch, bit-for-bit: the §5
+    sequence-scaling composition (detections deduped across both chunk and
+    shard edges)."""
+    from lte_gnu_radio_code_tpu.parallel import mesh as meshmod
+    from lte_gnu_radio_code_tpu.parallel import streaming as pstream
+
+    bits, rx = faded
+    batch = stream_rx.make_rx_detections(CFG, len(rx))(
+        jnp.asarray(rx, jnp.complex64))
+    nb = int(batch.count)
+
+    mesh = meshmod.time_mesh(n_shards)
+    srx = pstream.ShardedReacqStreamingRx(CFG, chunk_len, mesh)
+    buf = np.zeros(-(-len(rx) // chunk_len) * chunk_len, np.complex64)
+    buf[: len(rx)] = rx
+    outs = [srx.push(buf[i : i + chunk_len],
+                     n_real=max(0, min(chunk_len, len(rx) - i)))
+            for i in range(0, len(buf), chunk_len)]
+    outs.extend(srx.finish())
+
+    valid = [np.asarray(o.valid) for o in outs]
+    ptrs = np.concatenate([np.asarray(o.ptrs)[v] for o, v in zip(outs, valid)])
+    delays = np.concatenate([np.asarray(o.delays)[v] for o, v in zip(outs, valid)])
+    hard = np.concatenate([np.asarray(o.hard_bits)[v] for o, v in zip(outs, valid)])
+    ph = np.concatenate([np.asarray(o.phasors)[v] for o, v in zip(outs, valid)])
+
+    keep = ptrs <= int(np.asarray(batch.ptrs[:nb]).max())
+    np.testing.assert_array_equal(ptrs[keep], np.asarray(batch.ptrs[:nb]))
+    np.testing.assert_array_equal(delays[keep], np.asarray(batch.delays[:nb]))
+    np.testing.assert_array_equal(hard[keep], np.asarray(batch.hard_bits[:nb]))
+    np.testing.assert_allclose(ph[keep], np.asarray(batch.phasors[:nb]),
+                               atol=2e-5)
+
+
 def test_reacq_checkpoint_resume(tmp_path, faded):
     bits, rx = faded
     chunk = 960
