@@ -93,6 +93,43 @@ def qpsk_llr(phasors: jnp.ndarray):
     return hard, llr0, llr1
 
 
+def qpsk_llr_pairswap(phasors: jnp.ndarray):
+    """The per-stream Bit_Recovery variant's demap
+    (LEGACY/gr-ofdm-rx/python/Bit_Recovery.py:95-150): rail near/far picked
+    by the OTHER axis's sign, soft bits pair-swapped into the output, ceil
+    tie-break.  See reference_cpu/golden.py:bit_recovery_pairswap for the
+    quirk analysis; hard bits coincide with qpsk_llr for in-range symbols.
+
+    Returns (hard_bits [2n] i32, llr0 [2n], llr1 [2n]).
+    """
+    d = phasors.reshape(-1)
+    pts = jnp.asarray(QPSK_POINTS)
+    z = d[:, None] - pts[None, :]
+    az = jnp.abs(z)
+    dmin_ind = jnp.argmin(az, axis=1)
+    dmin = jnp.min(az, axis=1)
+    dz = pts[dmin_ind]
+    ez = d - dz
+
+    sigma0 = jnp.sqrt(0.5) * jnp.mean(dmin)
+    dfact = 1.0 / (sigma0 * sigma0)
+    er, ei = jnp.abs(ez.real), jnp.abs(ez.imag)
+    near_r, far_r = -0.5 * er, -0.5 * (_SQRT2 - er)
+    near_i, far_i = -0.5 * ei, -0.5 * (_SQRT2 - ei)
+    im_pos, re_pos = dz.imag >= 0, dz.real >= 0
+
+    rail_r0 = jnp.where(im_pos, near_r, far_r) * dfact
+    rail_r1 = jnp.where(im_pos, far_r, near_r) * dfact
+    rail_i0 = jnp.where(re_pos, near_i, far_i) * dfact
+    rail_i1 = jnp.where(re_pos, far_i, near_i) * dfact
+
+    # pair swap (:143-147): even outputs <- imag rail, odd <- real rail
+    llr0 = jnp.stack([rail_i0, rail_r0], axis=1).reshape(-1)
+    llr1 = jnp.stack([rail_i1, rail_r1], axis=1).reshape(-1)
+    hard = jnp.ceil(0.5 * (jnp.sign(llr1 - llr0) + 1.0)).astype(jnp.int32)
+    return hard, llr0, llr1
+
+
 # ---------------------------------------------------------------------------
 # Generic max-log demap (QAM16/64 + hard decisions for all modulations)
 # ---------------------------------------------------------------------------

@@ -466,6 +466,57 @@ def bit_recovery(phasors: np.ndarray):
     return hard, llrp0, llrp1
 
 
+def bit_recovery_pairswap(phasors: np.ndarray):
+    """The per-stream Bit_Recovery variant, ported literally
+    (LEGACY/gr-ofdm-rx/python/Bit_Recovery.py:95-150).
+
+    Differences vs :func:`bit_recovery` (BitRecovery.py):
+      * the quadrant conditions flip the near/far hypothesis per rail by the
+        OTHER axis's sign (real rail follows dz.imag, imag rail follows
+        dz.real, :110-135),
+      * the soft bits are then PAIR-SWAPPED into the output (even positions
+        take the imag-rail values, odd the real-rail, :143-147) — for
+        in-range symbols the two quirks cancel and the hard bits equal
+        BitRecovery's, but the |LLR| magnitudes are cross-assigned between
+        rails,
+      * hard decision uses np.ceil, so exact ties decide 1 (vs 0, :150).
+    """
+    d = np.asarray(phasors).ravel()
+    n = d.size
+    z = d[:, None] - QPSK_POINTS[None, :]
+    dmin_ind = np.argmin(np.abs(z), axis=1)
+    dmin = np.min(np.abs(z), axis=1)
+    dz = QPSK_POINTS[dmin_ind]
+    ez = d - dz
+
+    sigma00 = np.mean(np.abs(dmin))
+    sigma0 = np.sqrt(0.5 * sigma00 * sigma00)
+    d_factor = 1.0 / sigma0 ** 2
+    K = 2.0 / np.sqrt(2.0)
+
+    llrp0 = np.zeros(2 * n)
+    llrp1 = np.zeros(2 * n)
+    er, ei = np.abs(ez.real), np.abs(ez.imag)
+    near_r, far_r = -0.5 * er, -0.5 * (K - er)
+    near_i, far_i = -0.5 * ei, -0.5 * (K - ei)
+    # real rail: near/far chosen by dz.IMAG sign; imag rail by dz.REAL sign
+    im_pos, re_pos = dz.imag >= 0, dz.real >= 0
+    llrp0[0::2] = np.where(im_pos, near_r, far_r)
+    llrp1[0::2] = np.where(im_pos, far_r, near_r)
+    llrp0[1::2] = np.where(re_pos, near_i, far_i)
+    llrp1[1::2] = np.where(re_pos, far_i, near_i)
+    llrp0 *= d_factor
+    llrp1 *= d_factor
+
+    # the :143-147 bit-pair swap
+    soft0 = np.empty_like(llrp0)
+    soft1 = np.empty_like(llrp1)
+    soft0[1::2], soft0[0::2] = llrp0[0::2], llrp0[1::2]
+    soft1[1::2], soft1[0::2] = llrp1[0::2], llrp1[1::2]
+    hard = np.ceil(0.5 * (np.sign(soft1 - soft0) + 1.0)).astype(int)
+    return hard, soft0, soft1
+
+
 # ---------------------------------------------------------------------------
 # End-to-end oracle chain
 # ---------------------------------------------------------------------------

@@ -70,3 +70,39 @@ def test_dump_files(tmp_path):
     assert re_.shape == im_.shape
     ev = D.evm_db(r.phasors, G.qpsk_map(bits))
     assert ev < -30.0
+
+
+def test_bit_recovery_pairswap_variant():
+    """Pin the Bit_Recovery.py per-stream variant (the :143-147 bit-pair
+    swap): TPU op == literal oracle exactly; hard bits equal the plain
+    BitRecovery demap for in-range symbols; LLR magnitudes cross-assigned."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lte_gnu_radio_code_tpu.ops import modulation
+    from lte_gnu_radio_code_tpu.reference_cpu import golden as G
+
+    rng = np.random.default_rng(11)
+    pts = G.qpsk_map(rng.integers(0, 2, 2 * 600))
+    noisy = pts + 0.15 * (rng.standard_normal(600) +
+                          1j * rng.standard_normal(600))
+
+    oh, o0, o1 = G.bit_recovery_pairswap(noisy)
+    th, t0, t1 = modulation.qpsk_llr_pairswap(jnp.asarray(noisy, jnp.complex64))
+    np.testing.assert_array_equal(np.asarray(th), oh)
+    np.testing.assert_allclose(np.asarray(t0), o0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t1), o1, atol=1e-4)
+
+    # hard-bit coincidence with the BitRecovery demap for in-range symbols
+    bh, b0, b1 = G.bit_recovery(noisy)
+    np.testing.assert_array_equal(oh, bh)
+    # ...and the pair swap really crosses the rails: the {llr0, llr1} value
+    # pair at even positions equals BitRecovery's odd-position pair (up to
+    # the variant's quadrant-dependent near/far flip between llr0 and llr1)
+    def pairs(a, b):
+        return np.sort(np.stack([a, b]), axis=0)
+
+    np.testing.assert_allclose(pairs(o0[0::2], o1[0::2]),
+                               pairs(b0[1::2], b1[1::2]), atol=1e-9)
+    np.testing.assert_allclose(pairs(o0[1::2], o1[1::2]),
+                               pairs(b0[0::2], b1[0::2]), atol=1e-9)
