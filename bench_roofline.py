@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Roofline accounting for the full-chain benchmark (VERDICT r1 weak #1).
+
+Compiles the exact program bench.py times and reads XLA's own cost model
+(compiled.cost_analysis(): algorithmic flops + bytes accessed), then derives
+per-sample costs and speed-of-light bounds for the chip:
+
+  memory-bound  SoL = HBM_BW / bytes_per_sample
+  compute-bound SoL = peak_FLOPS / flops_per_sample
+
+Chip peaks (TPU v5e / "v5 lite", public figures): 197 TFLOP/s bf16 MXU,
+819 GB/s HBM.  The chain is complex64 (f32 pairs); f32 matmul throughput on
+the MXU is ~1/4 of bf16 (multi-pass decomposition), so both compute bounds
+are printed and the f32 one is the honest ceiling for this un-quantised
+pipeline.
+
+Usage: bench_roofline.py [config] [--measured MSPS] — pass the Msamples/s
+bench.py printed to get the achieved fraction of the binding bound.
+"""
+
+import argparse
+import functools
+import json
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from bench import bench_step
+from lte_gnu_radio_code_tpu.models import rxofdm
+from lte_gnu_radio_code_tpu.ops import channel as chan_ops
+from lte_gnu_radio_code_tpu.utils.params import GOLDEN64, LTE1024, LTE2048
+
+HBM_BW = 819e9          # B/s, TPU v5e
+PEAK_BF16 = 197e12      # FLOP/s
+PEAK_F32 = PEAK_BF16 / 4
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("config", nargs="?", default="loopback64",
+                   choices=["loopback64", "lte1024", "lte2048"])
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--measured", type=float, default=None,
+                   help="Msamples/s/chip from bench.py for this config")
+    args = p.parse_args()
+
+    cfg = {"loopback64": GOLDEN64, "lte1024": LTE1024,
+           "lte2048": LTE2048}[args.config]
+    n_samples = cfg.frame_len + cfg.nfft - 1
+    n_trials, num_patterns = rxofdm.plan_rx(cfg, n_samples)
+    h = chan_ops.channel_taps("Fading")
+    step = jax.jit(jax.vmap(functools.partial(
+        bench_step, cfg, h, n_trials, num_patterns)))
+
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(0, 2, (args.batch, cfg.num_bits),
+                                    dtype=np.int32))
+    seeds = jnp.arange(args.batch, dtype=jnp.int32)
+    compiled = step.lower(bits, seeds).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):                      # older jax returns [dict]
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+    total_samples = args.batch * n_samples
+
+    fps = flops / total_samples
+    bps = byts / total_samples
+    sol_mem = HBM_BW / bps / 1e6 if bps else float("inf")
+    sol_f32 = PEAK_F32 / fps / 1e6 if fps else float("inf")
+    sol_bf16 = PEAK_BF16 / fps / 1e6 if fps else float("inf")
+    binding = min(sol_mem, sol_f32)
+    out = {
+        "metric": f"roofline, full chain, {args.config} (batch {args.batch})",
+        "flops_per_sample": round(fps, 1),
+        "bytes_per_sample": round(bps, 1),
+        "arith_intensity_flop_per_byte": round(fps / bps, 2) if bps else None,
+        "sol_memory_msps": round(sol_mem, 1),
+        "sol_compute_f32_msps": round(sol_f32, 1),
+        "sol_compute_bf16_msps": round(sol_bf16, 1),
+        "binding_bound": "memory" if sol_mem < sol_f32 else "compute(f32)",
+        "binding_sol_msps": round(binding, 1),
+        "backend": jax.default_backend(),
+    }
+    if args.measured:
+        out["measured_msps"] = args.measured
+        out["fraction_of_sol"] = round(args.measured / binding, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

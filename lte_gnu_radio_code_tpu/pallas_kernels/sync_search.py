@@ -143,6 +143,18 @@ def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     tp = min(256, -(-n_rows // 8) * 8)
     n_tiles = -(-n_rows // tp)
     rows = n_tiles * tp + n_q                           # x2 rows needed
+    # VMEM ceiling: all inputs use full-array VMEM BlockSpecs, so the two
+    # [klen_ext, G*(cp+1)] weight matrices plus x2 must be simultaneously
+    # resident.  At LTE scale (nfft 1024: weights alone = 17 MB) this
+    # exceeds the ~16 MB scoped VMEM and Mosaic fails to compile — measured
+    # on v5e (BASELINE.md kernel shootout).  Fail with guidance instead.
+    need_vmem = 4 * (2 * klen_ext * gd + 2 * rows * se + 2 * tp * gd)
+    if need_vmem > 12 * 2 ** 20:
+        raise ValueError(
+            f"sync_corr_abs: kernel working set ~{need_vmem / 2**20:.1f} MiB "
+            "exceeds the VMEM budget for this (nfft, cp, buffer) shape; use "
+            "the XLA conv-bank path (ops.fast_sync.sync_corr_abs_fast) — it "
+            "is also the measured-fastest on v5e (see BASELINE.md)")
     need = cfg.cp_len + rows * se
     xp = jnp.pad(x, (0, max(0, need - x.shape[0])))[cfg.cp_len:need]
     x2 = xp.reshape(rows, se)

@@ -463,11 +463,18 @@ def config_from_case(table: dict, case: int, **overrides) -> OFDMConfig:
 GOLDEN64 = OFDMConfig().validate()
 
 # LTE-scale configs (BASELINE.json config 5).
+# stride = cp_len - 1, the gr-RXOFDM flagship's own search grid
+# (synch_and_chan_est.py:81): consecutive trials cp-1 apart combined with the
+# cp+1 delay hypotheses cover EVERY sample offset exactly once-ish, so the
+# stride-1 dense grid adds no detection capability — it only multiplies the
+# search flops by ~cp (at NFFT 1024 that is ~2e14 FLOP/frame, ~4 s/frame on
+# one v5e).  Dense stride remains available per-config for the utsa/offline
+# semantics at small NFFT (GOLDEN64 keeps stride=1).
 LTE1024 = OFDMConfig(
     nfft=1024, cp_len=256, num_ofdm_symb=64, synch_dat=(1, 3),
     num_data_bins=960, num_synch_bins=1022, bin_spacing=15e3,
-    channel_band=15e3 * 960).validate()
+    stride=255, channel_band=15e3 * 960).validate()
 LTE2048 = OFDMConfig(
     nfft=2048, cp_len=512, num_ofdm_symb=64, synch_dat=(1, 3),
     num_data_bins=1200, num_synch_bins=2046, bin_spacing=15e3,
-    channel_band=15e3 * 1200).validate()
+    stride=511, channel_band=15e3 * 1200).validate()
