@@ -56,6 +56,14 @@ def main(argv=None):
                         "(the reference's ref_sigs, SystemModel.py:30)")
     p.add_argument("--tx-pickle", help="stream this IQ pickle through the RX")
     p.add_argument("--bits-pickle", help="ground-truth bits for BER")
+    p.add_argument("--stream", type=int, default=0, metavar="CHUNK_LEN",
+                   help="run the CONTINUOUS multi-detection receiver "
+                        "(gr-RXOFDM work()-forever semantics: channel "
+                        "refreshed per detection) in chunks of this many "
+                        "samples instead of one batch call")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="with --stream: replay the input this many times "
+                        "(the D1 loopback's endless TX replay)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--diag-dir", help="write channel-est/soft-bit dumps here")
     p.add_argument("--json", action="store_true", help="machine-readable out")
@@ -64,6 +72,47 @@ def main(argv=None):
     cfg = build_config(args)
     from ..models import chain, rxofdm
     from ..utils import diagnostics as diag
+
+    if args.stream:
+        from ..runtime.stream import ReacqStreamingRx
+
+        if args.tx_pickle:
+            from ..io.pickles import load_pickle_iq
+            sig = load_pickle_iq(args.tx_pickle).ravel()
+        else:
+            from ..reference_cpu import golden as G
+            rng = np.random.default_rng(args.seed)
+            bits = rng.integers(0, 2, cfg.num_bits)
+            sig = G.apply_channel(G.tx_frame(cfg, bits),
+                                  G.channel_taps(cfg.channel))
+        sig = np.tile(sig, args.repeat)
+        chunk = args.stream
+        srx = ReacqStreamingRx(cfg, chunk)
+        buf = np.zeros(-(-len(sig) // chunk) * chunk, np.complex64)
+        buf[: len(sig)] = sig
+        outs = [srx.push(buf[i : i + chunk],
+                         n_real=max(0, min(chunk, len(sig) - i)))
+                for i in range(0, len(buf), chunk)]
+        outs.extend(srx.finish())
+        valid = [np.asarray(o.valid) for o in outs]
+        ptrs = np.concatenate([np.asarray(o.ptrs)[v]
+                               for o, v in zip(outs, valid)])
+        hard = np.concatenate([np.asarray(o.hard_bits)[v]
+                               for o, v in zip(outs, valid)])
+        out = {"mode": "stream", "chunk_len": chunk,
+               "chunks": len(outs), "detections": int(len(ptrs)),
+               "first_ptrs": ptrs[:5].tolist()}
+        if args.bits_pickle:
+            from ..io.pickles import load_pickle_iq as lp
+            gt = np.tile(lp(args.bits_pickle).ravel(), args.repeat)
+            h = hard.ravel()[: len(gt)]
+            out["ber"] = float(np.mean(h != gt[: len(h)]))
+        if args.json:
+            print(json.dumps(out))
+        else:
+            for k, v in out.items():
+                print(f"{k}: {v}")
+        return out
 
     if args.tx_pickle:
         from ..io.pickles import load_pickle_iq

@@ -69,3 +69,23 @@ def test_config_files_load():
         kw["synch_dat"] = tuple(kw["synch_dat"])
         cfg = OFDMConfig(**kw).validate()
         assert cfg.nfft >= 64
+
+
+def test_ofdm_chain_stream_mode_replayed_vectors(ref_vectors):
+    """The D1 loopback's real topology: the shipped TX vector replayed
+    continuously through the multi-detection streaming receiver — every
+    pattern block of every replay re-detected (timing shifts 63 samples per
+    replay due to the channel tail), zero bit errors."""
+    import pathlib
+
+    from lte_gnu_radio_code_tpu.cli import ofdm_chain
+
+    base = pathlib.Path(
+        "/root/reference/GNU-Radio-Repositories/TEST/GNU_RADIO_OFFLINE/Data")
+    out = ofdm_chain.main([
+        "--stream", "960", "--repeat", "3",
+        "--tx-pickle", str(base / "tx_data_offline_chan_type_Fading_SNR_100.pckl"),
+        "--bits-pickle", str(base / "tx_bit_data_chan_type_Fading_SNR_100.pckl"),
+        "--json"])
+    assert out["detections"] == 180
+    assert out["ber"] == 0.0
