@@ -17,6 +17,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--snrs", type=float, nargs="*",
                    default=[6, 8, 10, 12, 14, 16, 20, 24])
+    p.add_argument("--config", help="JSON config file (e.g. "
+                                    "configs/qam64_sweep.json); its "
+                                    "modulation/channel/shape override the "
+                                    "flags below")
     p.add_argument("--modulation", default="QPSK",
                    choices=["BPSK", "QPSK", "QAM16", "QAM64"])
     p.add_argument("--channel", default="Fading")
@@ -31,11 +35,20 @@ def main(argv=None):
     from ..models import chain
     from ..utils.params import OFDMConfig
 
+    base = {}
+    if args.config:
+        base = json.loads(open(args.config).read())
+        if "synch_dat" in base:
+            base["synch_dat"] = tuple(base["synch_dat"])
+        args.modulation = base.get("modulation", args.modulation)
+
     results = []
     for snr in args.snrs:
-        cfg = OFDMConfig(snr_db=float(snr), modulation=args.modulation,
-                         channel=args.channel,
-                         num_ofdm_symb=args.num_ofdm_symb).validate()
+        kw = dict(modulation=args.modulation, channel=args.channel,
+                  num_ofdm_symb=args.num_ofdm_symb)
+        kw.update(base)
+        kw["snr_db"] = float(snr)
+        cfg = OFDMConfig(**kw).validate()
         f = chain.make_chain(cfg)
         bers = []
         for s in range(args.frames):
@@ -47,12 +60,8 @@ def main(argv=None):
         row = {"snr_db": float(snr), "ber": float(np.mean(bers))}
         if args.check_oracle and args.modulation in ("BPSK", "QPSK"):
             from ..reference_cpu import golden as G
-            obers = [G.run_chain(
-                OFDMConfig(snr_db=float(snr), modulation=args.modulation,
-                           channel=args.channel,
-                           num_ofdm_symb=args.num_ofdm_symb).validate(),
-                seed=1000 * args.seed + s)["ber"]
-                for s in range(args.frames)]
+            obers = [G.run_chain(cfg, seed=1000 * args.seed + s)["ber"]
+                     for s in range(args.frames)]
             row["oracle_ber"] = float(np.mean(obers))
         results.append(row)
         if not args.json:
