@@ -514,3 +514,196 @@ class StreamingRx:
                                       jnp.complex64),
                 next_k=jnp.int32(z["next_k"]),
                 last_det_ptr=jnp.int32(z["last_det_ptr"]))
+
+
+# ---------------------------------------------------------------------------
+# Streaming legacy CFO/DSSS receiver (R4/R5 work() semantics)
+# ---------------------------------------------------------------------------
+#
+# The legacy GR blocks (LEGACY/gr-ofdm-rx/python/SynchEstAndFO.py:233-363,
+# SynchEstFOAndDSSS.py:269-412) run forever as streaming blocks: every work()
+# call slides the CFO x delay search over the new samples, the detection
+# table grows across calls, and each detection demodulates ONE following data
+# symbol (re-mixed by its winning CFO candidate) which is then optionally
+# DSSS-despread.  models/legacy_rx.py gives the batched whole-buffer form;
+# here the same math runs chunk-by-chunk with the refractory rule carried
+# across chunk edges, so the chunked outputs equal the batch run bit-for-bit
+# (tests/test_stream_rx.py::TestLegacyStreaming).
+
+
+def legacy_lag(cfg: OFDMConfig) -> int:
+    """History length for the legacy stream: a trial at local pointer cp
+    must read its synch pattern AND its one data symbol
+    (SynchEstAndFO.py:323-331: data starts m_synch blocks after the lock),
+    rounded up to a stride multiple so chunk trial grids stay aligned."""
+    need = cfg.cp_len + cfg.m_synch * cfg.rx_b_len + cfg.nfft
+    s = max(1, cfg.stride)
+    return -(-need // s) * s
+
+
+class LegacyStreamState(NamedTuple):
+    hist: jnp.ndarray        # [lag] trailing samples
+    base: jnp.ndarray        # global sample index of the next chunk's start
+    real_end: jnp.ndarray    # global count of real (non-flush) samples
+    last_det_ptr: jnp.ndarray
+    any_det: jnp.ndarray
+
+
+class LegacyChunkOut(NamedTuple):
+    ptrs: jnp.ndarray        # [det_max] global detection pointers (-1 unused)
+    delays: jnp.ndarray     # [det_max] winning delay hypotheses
+    peaks: jnp.ndarray      # [det_max] correlation peaks
+    fo_idx: jnp.ndarray     # [det_max] winning CFO candidate index
+    valid: jnp.ndarray      # [det_max] bool
+    demod_ok: jnp.ndarray   # [det_max] bool — data window inside real samples
+    chans: jnp.ndarray      # [det_max, nfft] per-detection channel estimates
+    phasors: jnp.ndarray    # [det_max, num_data_bins] equalised data
+    despread: jnp.ndarray   # [det_max, num_data_bins/dsss]
+
+
+def legacy_init(cfg: OFDMConfig) -> LegacyStreamState:
+    return LegacyStreamState(
+        hist=jnp.zeros(legacy_lag(cfg), jnp.complex64),
+        base=jnp.int32(0),
+        real_end=jnp.int32(0),
+        last_det_ptr=jnp.int32(0),
+        any_det=jnp.bool_(False))
+
+
+def legacy_stream_step(cfg: OFDMConfig, state: LegacyStreamState,
+                       chunk: jnp.ndarray, n_real, det_max: int,
+                       bank: np.ndarray, dsss: int = 1
+                       ) -> tuple[LegacyStreamState, LegacyChunkOut]:
+    """One chunk of the continuous CFO-search receiver.
+
+    Identical trial grid to reacq_step (trials lag `legacy_lag` behind the
+    input so every trial's full reach is readable in ext = [hist, chunk]);
+    the search itself is the fo-axis lax.scan of ops/cfo.py, holding one CFO
+    candidate's spectra at a time.
+    """
+    from ..models import stream_rx
+    from ..ops import cfo as cfo_ops
+
+    chunk_len = chunk.shape[0]
+    lag = legacy_lag(cfg)
+    stride = max(1, cfg.stride)
+    assert chunk_len % stride == 0, "chunk must be stride-aligned"
+    ext = jnp.concatenate([state.hist, chunk])
+    ext_start = state.base - lag                 # global coord of ext[0]
+
+    t_per = chunk_len // stride
+    dmax_val, delay_win, fo_win = cfo_ops.cfo_search_scan(cfg, ext, t_per,
+                                                          bank)
+    local_ptrs = (cfg.cp_len + stride * jnp.arange(t_per)).astype(jnp.int32)
+    global_ptrs = ext_start + local_ptrs
+    gate = cfg.detection_gate * cfg.m_synch * cfg.num_synch_bins
+    crossing = (dmax_val > gate) & (global_ptrs >= cfg.cp_len)
+
+    accepted, (last_ptr, any_det) = sync.refractory_scan(
+        cfg, crossing, global_ptrs, state.last_det_ptr, state.any_det)
+    (g_ptrs, l_ptrs, delays, fo_sel, peaks), count = sync.emit_slots(
+        accepted, (global_ptrs, local_ptrs, delay_win, fo_win,
+                   dmax_val.astype(jnp.float32)), det_max)
+    valid = jnp.arange(det_max) < count
+    fo_sel = fo_sel.astype(jnp.int32)
+
+    # channel estimate per detection (SynchEstAndFO.py:285-321)
+    det_spec = cfo_ops.spectra_at_detections(
+        cfg, ext, jnp.where(valid, l_ptrs, 0), fo_sel, bank)
+    _, chans, _ = jax.vmap(
+        lambda s, d: sync.estimate_channel(cfg, s, d))(det_spec, delays)
+    chans = chans * valid[:, None]
+
+    # one data symbol per detection (SynchEstAndFO.py:323-356), re-mixed by
+    # the winning CFO candidate; gated on the window lying in real samples
+    real_end = state.real_end + n_real
+    _, data_bins = used_bins(cfg.nfft, cfg.num_data_bins)
+    data_bins = np.asarray(data_bins)
+    start = l_ptrs + cfg.m_synch * cfg.rx_b_len
+    demod_ok = valid & (g_ptrs + cfg.m_synch * cfg.rx_b_len + cfg.nfft
+                        <= real_end)
+    start = jnp.where(demod_ok, start, 0)
+    idx = start[:, None] + jnp.arange(cfg.nfft)[None, :]
+    win = ext[idx] * jnp.asarray(bank)[fo_sel]
+    f = jnp.fft.fft(win, cfg.nfft, axis=-1)
+    fd = f[:, data_bins]
+    power = jnp.sum(jnp.abs(fd) ** 2, axis=-1, keepdims=True)
+    fd = fd * jnp.sqrt(fd.shape[-1] / jnp.maximum(power, 1e-30))
+    rot = jnp.exp((1j * 2.0 * jnp.pi / cfg.nfft) *
+                  delays[:, None].astype(jnp.float32) *
+                  jnp.asarray(data_bins, jnp.float32)[None, :])
+    chan_d = chans[:, data_bins]
+    eq = sync.mmse_gain(chan_d, cfg.snr_linear)
+    phasors = fd * rot * eq * demod_ok[:, None]
+    despread = cfo_ops.dsss_despread(phasors, dsss)
+
+    new_state = LegacyStreamState(
+        hist=ext[-lag:], base=state.base + chunk_len, real_end=real_end,
+        last_det_ptr=last_ptr, any_det=any_det)
+    out = LegacyChunkOut(
+        ptrs=jnp.where(valid, g_ptrs, -1), delays=delays, peaks=peaks,
+        fo_idx=fo_sel, valid=valid, demod_ok=demod_ok, chans=chans,
+        phasors=phasors, despread=despread)
+    return new_state, out
+
+
+class LegacyStreamingRx:
+    """Host-side driver for the continuous CFO/DSSS receiver.
+
+    The GNU Radio analog: the D4/D6 apps' RX thread calling
+    SynchEstAndFO.work() / SynchEstFOAndDSSS.work() forever — push(chunk) is
+    one work() call, finish() flushes the lag so trailing detections (and
+    their data symbols) resolve.
+    """
+
+    def __init__(self, cfg: OFDMConfig, chunk_len: int, fo_range=(0.0,),
+                 dsss: int = 1):
+        from ..ops import cfo as cfo_ops
+
+        stride = max(1, cfg.stride)
+        assert chunk_len % stride == 0
+        self.cfg = cfg
+        self.chunk_len = chunk_len
+        self.det_max = reacq_det_max(cfg, chunk_len)
+        self.state = legacy_init(cfg)
+        self._step = jax.jit(functools.partial(
+            legacy_stream_step, cfg, det_max=self.det_max,
+            bank=cfo_ops.cfo_bank(cfg, fo_range), dsss=dsss))
+
+    def push(self, chunk, n_real: int | None = None) -> LegacyChunkOut:
+        chunk = jnp.asarray(chunk, jnp.complex64)
+        assert chunk.shape[0] == self.chunk_len
+        if n_real is None:
+            n_real = self.chunk_len
+        self.state, out = self._step(self.state, chunk, jnp.int32(n_real))
+        return out
+
+    def finish(self) -> list[LegacyChunkOut]:
+        """Flush the lag with zero chunks so trailing trials resolve."""
+        outs = []
+        flushed = 0
+        while flushed < legacy_lag(self.cfg):
+            outs.append(self.push(
+                jnp.zeros(self.chunk_len, jnp.complex64), n_real=0))
+            flushed += self.chunk_len
+        return outs
+
+    # -- checkpoint/resume (same npz convention as StreamingRx) ------------
+    def save_state(self, path) -> None:
+        s = self.state
+        np.savez_compressed(
+            path,
+            hist_re=np.asarray(s.hist.real), hist_im=np.asarray(s.hist.imag),
+            base=np.asarray(s.base), real_end=np.asarray(s.real_end),
+            last_det_ptr=np.asarray(s.last_det_ptr),
+            any_det=np.asarray(s.any_det))
+
+    def load_state(self, path) -> None:
+        with np.load(path) as z:
+            self.state = LegacyStreamState(
+                hist=jnp.asarray(z["hist_re"] + 1j * z["hist_im"],
+                                 jnp.complex64),
+                base=jnp.int32(z["base"]),
+                real_end=jnp.int32(z["real_end"]),
+                last_det_ptr=jnp.int32(z["last_det_ptr"]),
+                any_det=jnp.bool_(z["any_det"]))
