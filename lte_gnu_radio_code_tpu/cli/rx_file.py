@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--dsss", type=int, default=0,
                    help="use the DSSS case table + despreading")
     p.add_argument("--max-det", type=int, default=100)
+    p.add_argument("--stream", type=int, default=0, metavar="CHUNK_LEN",
+                   help="run continuously in CHUNK_LEN-sample work calls "
+                        "(the GR block's streaming semantics) instead of one "
+                        "whole-buffer batch; output is identical")
     p.add_argument("--diag-dir")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
@@ -46,19 +50,44 @@ def main(argv=None):
         cfg = config_from_case(CFO_CASES, args.case)
         dsss = 1
 
-    f = legacy_rx.make_legacy_rx(cfg, len(rx), fo_range=tuple(args.fo_range),
-                                 dsss=dsss, max_det=args.max_det)
-    r = f(jnp.asarray(rx, jnp.complex64))
-    n = int(r.count)
+    if args.stream:
+        from ..runtime.stream import LegacyStreamingRx
+
+        stride = max(1, cfg.stride)
+        chunk = -(-args.stream // stride) * stride
+        srx = LegacyStreamingRx(cfg, chunk, fo_range=tuple(args.fo_range),
+                                dsss=dsss)
+        buf = np.zeros(-(-len(rx) // chunk) * chunk, np.complex64)
+        buf[: len(rx)] = rx
+        outs = [srx.push(buf[i: i + chunk],
+                         n_real=max(0, min(chunk, len(rx) - i)))
+                for i in range(0, len(buf), chunk)]
+        outs.extend(srx.finish())
+        valid = [np.asarray(o.valid) for o in outs]
+        cat = lambda f_: np.concatenate(
+            [np.asarray(f_(o))[v] for o, v in zip(outs, valid)])
+        ptrs, delays = cat(lambda o: o.ptrs), cat(lambda o: o.delays)
+        fo_idx, phasors = cat(lambda o: o.fo_idx), cat(lambda o: o.phasors)
+        despread = cat(lambda o: o.despread)
+        n = len(ptrs)
+    else:
+        f = legacy_rx.make_legacy_rx(cfg, len(rx),
+                                     fo_range=tuple(args.fo_range),
+                                     dsss=dsss, max_det=args.max_det)
+        r = f(jnp.asarray(rx, jnp.complex64))
+        n = int(r.count)
+        ptrs, delays = np.asarray(r.ptrs[:n]), np.asarray(r.delays[:n])
+        fo_idx = np.asarray(r.fo_idx[:n])
+        phasors, despread = np.asarray(r.phasors[:n]), np.asarray(r.despread[:n])
     out = {
         "detections": n,
-        "ptrs": np.asarray(r.ptrs[:n]).tolist(),
-        "delays": np.asarray(r.delays[:n]).tolist(),
-        "fo_idx": np.asarray(r.fo_idx[:n]).tolist(),
+        "ptrs": ptrs.tolist(),
+        "delays": delays.tolist(),
+        "fo_idx": fo_idx.tolist(),
     }
     if args.diag_dir:
         from ..utils import diagnostics as diag
-        diag.iq_scatter(r.despread[:n] if dsss > 1 else r.phasors[:n],
+        diag.iq_scatter(despread if dsss > 1 else phasors,
                         save_to=f"{args.diag_dir}/iq_scatter.png")
     if args.json:
         print(json.dumps(out))

@@ -89,3 +89,52 @@ def test_ofdm_chain_stream_mode_replayed_vectors(ref_vectors):
         "--json"])
     assert out["detections"] == 180
     assert out["ber"] == 0.0
+
+
+def test_rx_file_stream_equals_batch(tmp_path):
+    """--stream (the GR block's continuous mode) finds the same detections
+    as the whole-buffer batch run."""
+    cfg = config_from_case(CFO_CASES, 0, snr_db=1e8)
+    rng = np.random.default_rng(3)
+    rx = np.concatenate([
+        G.apply_channel(G.tx_frame(cfg, rng.integers(0, 2, cfg.num_bits)),
+                        G.channel_taps("Fading"), max_impulse=cfg.nfft)
+        for _ in range(2)])
+    io.save_pickle_iq(tmp_path / "iq.pckl", rx)
+    batch = rx_file.main([str(tmp_path / "iq.pckl"), "--case", "0"])
+    stream = rx_file.main([str(tmp_path / "iq.pckl"), "--case", "0",
+                           "--stream", "960"])
+    nb = batch["detections"]
+    assert stream["detections"] >= nb
+    assert stream["ptrs"][:nb] == batch["ptrs"]
+    assert stream["delays"][:nb] == batch["delays"]
+
+
+def test_tx_file_generate_and_replay(tmp_path):
+    """D5 analog: generate writes a decodable frame; replay streams the
+    legacy numbered pickles through the 4095-quantum chunked source."""
+    from lte_gnu_radio_code_tpu.cli import tx_file
+    from lte_gnu_radio_code_tpu.models import rxofdm
+    import jax.numpy as jnp
+
+    gen = tx_file.main([str(tmp_path / "gen.pckl"), "--generate",
+                        "--num-symbols", "48", "--json"])
+    sig = io.load_pickle_iq(tmp_path / "gen.pckl").ravel()
+    assert gen["samples"] == sig.size
+    from lte_gnu_radio_code_tpu.utils.params import OFDMConfig
+    cfg = OFDMConfig(num_ofdm_symb=48).validate()
+    faded = G.apply_channel(sig, G.channel_taps("Fading"),
+                            max_impulse=cfg.nfft)
+    r = rxofdm.make_rx(cfg, len(faded))(jnp.asarray(faded, jnp.complex64))
+    assert bool(r.found)
+
+    # replay: 2 repeats over one numbered file == 2 exact copies of the row
+    io.save_pickle_iq(tmp_path / "tx_data_0.pckl", sig[None, :])
+    rep = tx_file.main([str(tmp_path / "replay.npy"),
+                        "--pickle-dir", str(tmp_path),
+                        "--file-stem", "tx_data_", "--repeat", "2",
+                        "--json"])
+    out = np.load(tmp_path / "replay.npy")
+    assert rep["samples"] == out.size
+    two = np.tile(sig.astype(np.complex64), 2)
+    np.testing.assert_array_equal(out[: two.size], two)
