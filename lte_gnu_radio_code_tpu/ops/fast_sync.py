@@ -58,9 +58,11 @@ def _kernels(cfg: OFDMConfig) -> np.ndarray:
     return out.astype(np.complex64)
 
 
-def _conv_bank(x: jnp.ndarray, kernels: np.ndarray) -> jnp.ndarray:
+def _conv_bank(x: jnp.ndarray, kernels: np.ndarray,
+               stride: int = 1) -> jnp.ndarray:
     """Cross-correlate [B, n] complex x with [D, klen] complex kernels via
-    one real conv.  Returns complex [B, D, n - klen + 1]."""
+    one real conv.  Returns complex [B, D, (n - klen)//stride + 1]; output
+    position p is the window starting at x[p*stride]."""
     b, n = x.shape
     d, klen = kernels.shape
     xr = jnp.stack([x.real, x.imag], axis=1)            # [B, 2, n]
@@ -70,35 +72,44 @@ def _conv_bank(x: jnp.ndarray, kernels: np.ndarray) -> jnp.ndarray:
     k[:d, 0], k[:d, 1] = kr, -ki                        # re = xr*kr - xi*ki
     k[d:, 0], k[d:, 1] = ki, kr                         # im = xr*ki + xi*kr
     y = lax.conv_general_dilated(
-        xr.astype(jnp.float32), jnp.asarray(k), (1,), "VALID",
+        xr.astype(jnp.float32), jnp.asarray(k), (stride,), "VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32)
     return (y[:, :d] + 1j * y[:, d:]).astype(jnp.complex64)
 
 
-def _box_sums(x: jnp.ndarray, nfft: int) -> tuple:
-    """Length-nfft sliding sums of |x|^2, x and (-1)^n x over [B, n]."""
+def _box_feats(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, 5, n] features whose length-nfft box sums give |S|^2 via Parseval:
+    |x|^2, re/im of x, re/im of (-1)^n x (sign anchored to the full buffer —
+    |NY|^2 is sign-invariant, so window-relative re-anchoring cancels)."""
     b, n = x.shape
     sgn = jnp.asarray((-1.0) ** np.arange(n), jnp.float32)
-    feats = jnp.stack([
+    return jnp.stack([
         (x.real ** 2 + x.imag ** 2),
         x.real, x.imag,
         x.real * sgn, x.imag * sgn,
-    ], axis=1)                                          # [B, 5, n]
+    ], axis=1)
+
+
+def _box_conv(feats: jnp.ndarray, nfft: int, stride: int = 1) -> tuple:
+    """Box sums of the 5 features -> (e, dc2, ny2), each
+    [B, (n - nfft)//stride + 1]; position p = window start feats[..., p*stride]."""
     ones = np.zeros((5, 5, nfft), dtype=np.float32)
     for i in range(5):
         ones[i, i] = 1.0
     s = lax.conv_general_dilated(
-        feats, jnp.asarray(ones), (1,), "VALID",
+        feats, jnp.asarray(ones), (stride,), "VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)             # [B, 5, n-nfft+1]
+        preferred_element_type=jnp.float32)
     e = s[:, 0]
     dc2 = s[:, 1] ** 2 + s[:, 2] ** 2
-    # (-1)^n x window sums need the sign re-anchored at each window start:
-    # sum_n (-1)^n x[p+n] = (-1)^p * window_sum(x * (-1)^t); magnitude is
-    # sign-invariant, so |NY|^2 = s3^2 + s4^2 directly.
     ny2 = s[:, 3] ** 2 + s[:, 4] ** 2
     return e, dc2, ny2
+
+
+def _box_sums(x: jnp.ndarray, nfft: int) -> tuple:
+    """Length-nfft sliding sums of |x|^2, x and (-1)^n x over [B, n]."""
+    return _box_conv(_box_feats(x), nfft)
 
 
 def sync_corr_abs_fast(cfg: OFDMConfig, x: jnp.ndarray,
@@ -115,20 +126,35 @@ def sync_corr_abs_fast(cfg: OFDMConfig, x: jnp.ndarray,
         x = x[None]
     kernels = _kernels(cfg)
     klen = kernels.shape[1]
-
-    # trials start at cp + p*stride; conv VALID output index m corresponds to
-    # window start m.  Slice the trial offsets out of the dense correlation.
-    corr = _conv_bank(x, kernels)                       # [B, D, n-klen+1]
     starts = cfg.cp_len + cfg.stride * np.arange(n_trials)
-    corr = corr[:, :, starts]                           # [B, D, p]
-    corr = jnp.swapaxes(corr, 1, 2)                     # [B, p, D]
-
-    e, dc2, ny2 = _box_sums(x, cfg.nfft)
     L = cfg.m_synch * cfg.num_synch_bins
-    win_pow = cfg.nfft * e - dc2 - ny2                  # per window start
-    # sum over the m0 CP-skipped windows of each trial
-    offs = (np.arange(cfg.m_synch) * cfg.rx_b_len)[None, :] + starts[:, None]
-    s_pow = jnp.sum(win_pow[:, offs], axis=-1)          # [B, p]
+
+    if cfg.stride == 1:
+        # dense conv + slice (byte-identical to the original program, keeping
+        # compiled-cache validity for the stride-1 configs)
+        corr = _conv_bank(x, kernels)                   # [B, D, n-klen+1]
+        corr = corr[:, :, starts]                       # [B, D, p]
+        e, dc2, ny2 = _box_sums(x, cfg.nfft)
+        win_pow = cfg.nfft * e - dc2 - ny2              # per window start
+        # sum over the m0 CP-skipped windows of each trial
+        offs = (np.arange(cfg.m_synch) * cfg.rx_b_len)[None, :] + \
+            starts[:, None]
+        s_pow = jnp.sum(win_pow[:, offs], axis=-1)      # [B, p]
+    else:
+        # strided conv: compute ONLY the trial offsets.  At the flagship's
+        # own grid (stride = cp-1, synch_and_chan_est.py:81) the dense form
+        # does stride x the needed work unless XLA happens to fold the
+        # slice into the conv — make the stride explicit instead.
+        corr = _conv_bank(x[:, cfg.cp_len:], kernels,
+                          stride=cfg.stride)[:, :, :n_trials]
+        feats = _box_feats(x)
+        s_pow = 0.0
+        for l in range(cfg.m_synch):                    # tiny (m_synch <= 5)
+            off = cfg.cp_len + l * cfg.rx_b_len
+            e, dc2, ny2 = _box_conv(feats[:, :, off:], cfg.nfft,
+                                    stride=cfg.stride)
+            s_pow = s_pow + (cfg.nfft * e - dc2 - ny2)[:, :n_trials]
+    corr = jnp.swapaxes(corr, 1, 2)                     # [B, p, D]
     scale = jnp.sqrt(L / jnp.maximum(s_pow, 1e-30))
     out = jnp.abs(corr) * scale[..., None]
     return out[0] if squeeze else out
