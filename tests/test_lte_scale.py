@@ -46,3 +46,39 @@ def test_lte_qam64_moderate_snr():
         0, 2, cfg.num_bits, dtype=np.int32))
     out = chain.make_chain(cfg)(bits, jax.random.PRNGKey(1))
     assert float(out.ber) == 0.0
+
+
+def test_lte1024_streaming_reacq_equals_batch():
+    """Continuous multi-detection streaming at LTE scale (NFFT 1024,
+    stride = cp-1): chunked == whole-buffer batch.  Exercises the strided
+    conv-bank search inside the stream step."""
+    from lte_gnu_radio_code_tpu.models import stream_rx
+    from lte_gnu_radio_code_tpu.runtime import stream as stream_rt
+
+    cfg = OFDMConfig(**{**LTE1024.__dict__, "num_ofdm_symb": 16}).validate()
+    rng = np.random.default_rng(3)
+    sig = np.concatenate([
+        G.apply_channel(G.tx_frame(cfg, rng.integers(0, 2, cfg.num_bits)),
+                        G.channel_taps("Fading"), max_impulse=cfg.nfft)
+        for _ in range(2)])
+
+    batch = stream_rx.make_rx_detections(cfg, len(sig))(
+        jnp.asarray(sig, jnp.complex64))
+    nb = int(batch.count)
+    assert nb > 0
+
+    chunk = cfg.stride * 48                       # 12240 samples
+    srx = stream_rt.ReacqStreamingRx(cfg, chunk)
+    buf = np.zeros(-(-len(sig) // chunk) * chunk, np.complex64)
+    buf[: len(sig)] = sig
+    outs = [srx.push(buf[i: i + chunk],
+                     n_real=max(0, min(chunk, len(sig) - i)))
+            for i in range(0, len(buf), chunk)]
+    outs.extend(srx.finish())
+    valid = [np.asarray(o.valid) for o in outs]
+    ptrs = np.concatenate([np.asarray(o.ptrs)[v] for o, v in zip(outs, valid)])
+    hard = np.concatenate([np.asarray(o.hard_bits)[v]
+                           for o, v in zip(outs, valid)])
+    keep = ptrs <= int(np.asarray(batch.ptrs[:nb]).max())
+    np.testing.assert_array_equal(ptrs[keep], np.asarray(batch.ptrs[:nb]))
+    np.testing.assert_array_equal(hard[keep], np.asarray(batch.hard_bits[:nb]))
