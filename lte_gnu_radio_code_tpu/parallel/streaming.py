@@ -163,3 +163,169 @@ class ShardedReacqStreamingRx:
                 jnp.zeros(self.chunk_len, jnp.complex64), n_real=0))
             flushed += self.chunk_len
         return outs
+
+
+# ---------------------------------------------------------------------------
+# Sharded streaming for the legacy CFO/DSSS receiver (R4/R5)
+# ---------------------------------------------------------------------------
+#
+# Same composition as above with the CFO-hypothesis search in place of the
+# conv-bank: each shard scans the fo axis over its own trials
+# (ops/cfo.py:cfo_search_scan), the (peak, delay, fo) triples all_gather in
+# global trial order, the refractory scan runs replicated, and each shard
+# demodulates (channel estimate + one CFO-re-mixed data symbol) the
+# detections whose trials it owns.  Chunked + sharded == the single-device
+# batch rx_frame_cfo, bit-for-bit (tests/test_stream_legacy.py).
+
+from ..runtime.stream import (LegacyChunkOut, LegacyStreamState, legacy_init,
+                              legacy_lag)
+
+
+def _legacy_body(cfg: OFDMConfig, hist, x_local, base, real_end,
+                 last_det_ptr, any_det, n_real, *, axis: str, n_shards: int,
+                 det_max: int, bank, dsss: int):
+    from ..ops import cfo as cfo_ops
+    from ..utils.params import used_bins
+
+    lag = legacy_lag(cfg)
+    l_loc = x_local.shape[0]
+    assert lag <= l_loc, (
+        f"shard chunk ({l_loc}) smaller than the stream lag ({lag}); "
+        "use a larger chunk or fewer shards")
+    stride = max(1, cfg.stride)
+    i = lax.axis_index(axis)
+
+    # 1. left-halo exchange (shard 0 uses the carried history)
+    perm = [(s, (s + 1) % n_shards) for s in range(n_shards)]
+    left = lax.ppermute(x_local[-lag:], axis, perm)
+    left = jnp.where(i == 0, hist, left)
+    ext_i = jnp.concatenate([left, x_local])
+
+    # 2. local CFO x delay search (fo axis lax.scan-ed)
+    t_loc = l_loc // stride
+    dmax_val, delay_win, fo_win = cfo_ops.cfo_search_scan(cfg, ext_i, t_loc,
+                                                          bank)
+    local_ptrs = (cfg.cp_len + stride * jnp.arange(t_loc)).astype(jnp.int32)
+    my_start = base + i * l_loc - lag               # global coord of ext_i[0]
+    global_ptrs = my_start + local_ptrs
+
+    # 3. global trial-ordered refractory scan
+    vals = lax.all_gather(dmax_val, axis, tiled=True)
+    dlys = lax.all_gather(delay_win, axis, tiled=True)
+    fos = lax.all_gather(fo_win, axis, tiled=True)
+    gptrs = lax.all_gather(global_ptrs, axis, tiled=True)
+    gate = cfg.detection_gate * cfg.m_synch * cfg.num_synch_bins
+    crossing = (vals > gate) & (gptrs >= cfg.cp_len)
+    accepted, (last_ptr, any_det1) = sync.refractory_scan(
+        cfg, crossing, gptrs, last_det_ptr, any_det)
+    (g_det, delays, fo_sel, peaks), count = sync.emit_slots(
+        accepted, (gptrs, dlys, fos, vals.astype(jnp.float32)), det_max)
+    valid = jnp.arange(det_max) < count
+    fo_sel = fo_sel.astype(jnp.int32)
+
+    # 4. per-shard demod of owned detections, psum merge
+    trial_idx = (g_det - (base - lag) - cfg.cp_len) // stride
+    owner = trial_idx // t_loc
+    mine = valid & (owner == i)
+    ptr_rel = jnp.where(mine, g_det - my_start, 0)
+    real_end1 = real_end + n_real
+
+    det_spec = cfo_ops.spectra_at_detections(cfg, ext_i, ptr_rel, fo_sel,
+                                             bank)
+    _, chans_i, _ = jax.vmap(
+        lambda s, d: sync.estimate_channel(cfg, s, d))(det_spec, delays)
+    chans_i = chans_i * mine[:, None]
+
+    _, data_bins = used_bins(cfg.nfft, cfg.num_data_bins)
+    data_bins = np.asarray(data_bins)
+    ok_i = mine & (g_det + cfg.m_synch * cfg.rx_b_len + cfg.nfft <= real_end1)
+    start = jnp.where(ok_i, ptr_rel + cfg.m_synch * cfg.rx_b_len, 0)
+    idx = start[:, None] + jnp.arange(cfg.nfft)[None, :]
+    win = ext_i[idx] * jnp.asarray(bank)[fo_sel]
+    f = jnp.fft.fft(win, cfg.nfft, axis=-1)
+    fd = f[:, data_bins]
+    power = jnp.sum(jnp.abs(fd) ** 2, axis=-1, keepdims=True)
+    fd = fd * jnp.sqrt(fd.shape[-1] / jnp.maximum(power, 1e-30))
+    rot = jnp.exp((1j * 2.0 * jnp.pi / cfg.nfft) *
+                  delays[:, None].astype(jnp.float32) *
+                  jnp.asarray(data_bins, jnp.float32)[None, :])
+    eq = sync.mmse_gain(chans_i[:, data_bins], cfg.snr_linear)
+    ph_i = fd * rot * eq * ok_i[:, None]
+
+    chans = lax.psum(chans_i, axis)
+    phasors = lax.psum(ph_i, axis)
+    demod_ok = lax.psum(ok_i.astype(jnp.int32), axis) > 0
+    despread = cfo_ops.dsss_despread(phasors, dsss)
+
+    hist_new = lax.psum(
+        jnp.where(i == n_shards - 1, x_local[-lag:],
+                  jnp.zeros(lag, jnp.complex64)), axis)
+    new_state = LegacyStreamState(
+        hist=hist_new, base=base + n_shards * l_loc, real_end=real_end1,
+        last_det_ptr=last_ptr, any_det=any_det1)
+    out = LegacyChunkOut(
+        ptrs=jnp.where(valid, g_det, -1), delays=delays, peaks=peaks,
+        fo_idx=fo_sel, valid=valid, demod_ok=demod_ok, chans=chans,
+        phasors=phasors, despread=despread)
+    return new_state, out
+
+
+def make_sharded_legacy_step(cfg: OFDMConfig, chunk_len: int, mesh: Mesh,
+                             axis: str = "t", det_max: int | None = None,
+                             fo_range=(0.0,), dsss: int = 1):
+    """Jitted sharded legacy chunk step (chunk sharded over ``axis``)."""
+    from ..ops import cfo as cfo_ops
+
+    n_shards = mesh.shape[axis]
+    assert chunk_len % (n_shards * max(1, cfg.stride)) == 0, (
+        "chunk_len must be a multiple of n_shards * stride")
+    if det_max is None:
+        det_max = chunk_len // (2 * cfg.cp_len + cfg.nfft) + 1
+
+    body = functools.partial(
+        _legacy_body, cfg, axis=axis, n_shards=n_shards, det_max=det_max,
+        bank=cfo_ops.cfo_bank(cfg, fo_range), dsss=dsss)
+    state_spec = LegacyStreamState(*([P()] * 5))
+    out_spec = LegacyChunkOut(*([P()] * 9))
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(), P(), P(), P()),
+        out_specs=(state_spec, out_spec), check_vma=False)
+
+    @jax.jit
+    def step(state: LegacyStreamState, chunk, n_real):
+        return fn(state.hist, chunk, state.base, state.real_end,
+                  state.last_det_ptr, state.any_det, n_real)
+
+    return step, det_max
+
+
+class ShardedLegacyStreamingRx:
+    """Host driver: LegacyStreamingRx semantics with every chunk
+    time-sharded over the mesh."""
+
+    def __init__(self, cfg: OFDMConfig, chunk_len: int, mesh: Mesh,
+                 axis: str = "t", fo_range=(0.0,), dsss: int = 1):
+        self.cfg = cfg
+        self.chunk_len = chunk_len
+        self.mesh = mesh
+        self._step, self.det_max = make_sharded_legacy_step(
+            cfg, chunk_len, mesh, axis, fo_range=fo_range, dsss=dsss)
+        self.state = legacy_init(cfg)
+
+    def push(self, chunk, n_real: int | None = None) -> LegacyChunkOut:
+        chunk = jnp.asarray(chunk, jnp.complex64)
+        assert chunk.shape[0] == self.chunk_len
+        if n_real is None:
+            n_real = self.chunk_len
+        self.state, out = self._step(self.state, chunk, jnp.int32(n_real))
+        return out
+
+    def finish(self) -> list[LegacyChunkOut]:
+        outs = []
+        flushed = 0
+        while flushed < legacy_lag(self.cfg):
+            outs.append(self.push(
+                jnp.zeros(self.chunk_len, jnp.complex64), n_real=0))
+            flushed += self.chunk_len
+        return outs

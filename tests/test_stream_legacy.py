@@ -124,3 +124,35 @@ def test_legacy_stream_checkpoint_resume(tmp_path):
     r_ph = np.concatenate([np.asarray(o.phasors)[np.asarray(o.valid)]
                            for o in resumed])
     np.testing.assert_array_equal(f_ph, r_ph)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_legacy_streaming_equals_batch(n_shards):
+    """Chunked AND time-sharded CFO-search stream == single-device batch,
+    detection-for-detection — the sequence-scaling composition extended to
+    the legacy receiver family."""
+    from lte_gnu_radio_code_tpu.parallel import mesh as meshmod
+    from lte_gnu_radio_code_tpu.parallel.streaming import (
+        ShardedLegacyStreamingRx)
+
+    cfg = config_from_case(CFO_CASES, 0, snr_db=1e8)
+    sig = _capture(cfg, seed=0, cfo_hz=1500.0, n_frames=2)
+    fo_range = (0.0, -1500.0, 1500.0)
+    batch = legacy_rx.make_legacy_rx(cfg, len(sig), fo_range=fo_range,
+                                     max_det=48)(jnp.asarray(sig,
+                                                             jnp.complex64))
+    nb = int(batch.count)
+
+    stride = max(1, cfg.stride)
+    chunk = n_shards * stride * 24
+    mesh = meshmod.time_mesh(n_shards)
+    srx = ShardedLegacyStreamingRx(cfg, chunk, mesh, fo_range=fo_range)
+    ptrs, delays, fo_idx, ph, _, ok = _drain(srx, sig, chunk)
+
+    keep = ptrs <= int(np.asarray(batch.ptrs[:nb]).max())
+    np.testing.assert_array_equal(ptrs[keep], np.asarray(batch.ptrs[:nb]))
+    np.testing.assert_array_equal(delays[keep], np.asarray(batch.delays[:nb]))
+    np.testing.assert_array_equal(fo_idx[keep], np.asarray(batch.fo_idx[:nb]))
+    assert ok[keep].all()
+    np.testing.assert_allclose(ph[keep], np.asarray(batch.phasors[:nb]),
+                               atol=2e-5)
