@@ -11,6 +11,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..utils.params import OFDMConfig
 
@@ -43,15 +44,39 @@ def mimo2_taps(name: str = "Fading", dtype=np.complex64) -> np.ndarray:
     return h.astype(dtype)
 
 
+def _direct_conv_full(sig: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Full linear convolution sig * h as ONE real conv (complex arithmetic
+    decomposed into 2 in / 2 out channels).  For the tap counts the
+    reference's CIR tables actually use (5..63) this is both far fewer FLOPs
+    than the FFT-overlap form and a much smaller program to compile."""
+    th = h.shape[-1]
+    x = jnp.stack([jnp.real(sig), jnp.imag(sig)])[None]     # [1, 2, n]
+    hf = h[::-1]                                            # corr -> conv
+    k = jnp.stack([jnp.stack([jnp.real(hf), -jnp.imag(hf)]),
+                   jnp.stack([jnp.imag(hf), jnp.real(hf)])])  # [2, 2, th]
+    y = lax.conv_general_dilated(
+        x.astype(jnp.float32), k.astype(jnp.float32), (1,),
+        [(th - 1, th - 1)], dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)
+    return (y[0, 0] + 1j * y[0, 1]).astype(jnp.complex64)
+
+
 def apply_channel(sig: jnp.ndarray, h: jnp.ndarray,
                   max_impulse: int | None = None) -> jnp.ndarray:
-    """Full linear convolution sig * h, FFT-based (one batched pass on TPU).
+    """Full linear convolution sig * h (one batched pass on TPU).
 
     Matches np.convolve(sig, h_padded_to_max_impulse) as the reference does
-    in MultiAntennaSystem.rx_signal_gen:221-231.
+    in MultiAntennaSystem.rx_signal_gen:221-231: the output is
+    len(sig) + max_impulse - 1 samples, with the tail beyond the true taps
+    zero.  Short responses (every shipped CIR table) convolve directly;
+    long ones fall back to the FFT-overlap form.
     """
-    taps = h.shape[-1] if max_impulse is None else max_impulse
+    taps = h.shape[-1] if max_impulse is None else max(max_impulse,
+                                                       h.shape[-1])
     n_out = sig.shape[-1] + taps - 1
+    if h.shape[-1] <= 256:
+        y = _direct_conv_full(sig, h)                   # [n + th - 1]
+        return jnp.pad(y, (0, n_out - y.shape[-1]))
     nfft = int(2 ** np.ceil(np.log2(max(n_out, 2))))
     s = jnp.fft.fft(sig, nfft)
     hh = jnp.fft.fft(h, nfft)
