@@ -86,9 +86,31 @@ def apply_channel(sig: jnp.ndarray, h: jnp.ndarray,
 
 def apply_channel_mimo(sig: jnp.ndarray, h: jnp.ndarray,
                        max_impulse: int | None = None) -> jnp.ndarray:
-    """[n_tx, T] x [n_rx, n_tx, taps] -> [n_rx, T+taps-1] summed over TX."""
-    taps = h.shape[-1] if max_impulse is None else max_impulse
+    """[n_tx, T] x [n_rx, n_tx, taps] -> [n_rx, T+taps-1] summed over TX.
+
+    Short responses convolve directly (one real conv whose input channels
+    are the TX antennas' I/Q rails and whose output channels are the RX
+    antennas'); long ones use the FFT-overlap form.
+    """
+    taps = h.shape[-1] if max_impulse is None else max(max_impulse,
+                                                       h.shape[-1])
     n_out = sig.shape[-1] + taps - 1
+    if h.shape[-1] <= 256:
+        th = h.shape[-1]
+        n_rx, n_tx = h.shape[0], h.shape[1]
+        x = jnp.concatenate([jnp.real(sig), jnp.imag(sig)])[None]  # [1, 2T, n]
+        hf = h[..., ::-1]
+        # out channel o = rx r rail (re/im); in channel i = tx t rail
+        k = jnp.concatenate([
+            jnp.concatenate([jnp.real(hf), -jnp.imag(hf)], axis=1),
+            jnp.concatenate([jnp.imag(hf), jnp.real(hf)], axis=1),
+        ], axis=0)                                  # [2R, 2T, th]
+        y = lax.conv_general_dilated(
+            x.astype(jnp.float32), k.astype(jnp.float32), (1,),
+            [(th - 1, th - 1)], dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32)[0]
+        out = (y[:n_rx] + 1j * y[n_rx:]).astype(jnp.complex64)
+        return jnp.pad(out, ((0, 0), (0, n_out - out.shape[-1])))
     nfft = int(2 ** np.ceil(np.log2(max(n_out, 2))))
     s = jnp.fft.fft(sig, nfft, axis=-1)                      # [n_tx, F]
     hh = jnp.fft.fft(h, nfft, axis=-1)                       # [n_rx, n_tx, F]
