@@ -17,12 +17,22 @@ Prints one JSON line: {"kernel":..., "config":..., "value": us/call,
 
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 import jax
+
+# persistent compile cache (same as bench.py): warm repeats skip the
+# ~minutes-long tunnel compile
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
