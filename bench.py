@@ -41,7 +41,10 @@ from lte_gnu_radio_code_tpu.models import chain, rxofdm, txofdm
 from lte_gnu_radio_code_tpu.ops import channel as chan_ops
 from lte_gnu_radio_code_tpu.utils.params import GOLDEN64
 
-BASELINE_MSPS = 1.01  # CPU reference oracle, measured (BASELINE.md)
+# CPU reference oracle throughput per config, measured on this machine by
+# bench_oracle.py (median of >=3 reps; BASELINE.md "oracle" rows).  Each TPU
+# number is divided by ITS OWN config's oracle, not the loopback64 one.
+ORACLE_MSPS = {"loopback64": 1.02, "lte1024": 1.90, "lte2048": 2.04}
 
 
 def bench_step(cfg, h, n_trials, num_patterns, bits, seed):
@@ -89,22 +92,33 @@ def main():
     for _ in range(5):
         jax.block_until_ready(step(bits, seeds))
 
-    iters, t0 = 0, time.perf_counter()
-    while time.perf_counter() - t0 < 3.0 or iters < 3:
-        jax.block_until_ready(step(bits, seeds))
-        iters += 1
-    dt = (time.perf_counter() - t0) / iters
+    # >=5 independent timed reps; report the median with spread (VERDICT r2
+    # weak #4: single-run headlines swung +-14% run-to-run through the
+    # tunnel — median-of-5 with stated spread is the robust form).
+    rep_msps = []
+    for _ in range(5):
+        iters, t0 = 0, time.perf_counter()
+        while time.perf_counter() - t0 < 1.5 or iters < 3:
+            jax.block_until_ready(step(bits, seeds))
+            iters += 1
+        dt = (time.perf_counter() - t0) / iters
+        rep_msps.append(batch * n_samples / dt / 1e6)
 
     # correctness (host numpy only — after the timed region)
     assert np.asarray(found).sum() == batch, "sync lock failed in bench"
     assert np.asarray(ber).max() == 0.0, "nonzero BER in bench"
 
-    msps = batch * n_samples / dt / 1e6
+    msps = float(np.median(rep_msps))
+    spread = 100.0 * (max(rep_msps) - min(rep_msps)) / msps
+    baseline = ORACLE_MSPS[which]
     print(json.dumps({
         "metric": f"full TX->fading->AWGN->RX chain throughput ({label})",
         "value": round(msps, 3),
         "unit": "Msamples/s/chip",
-        "vs_baseline": round(msps / BASELINE_MSPS, 2),
+        "vs_baseline": round(msps / baseline, 2),
+        "reps": len(rep_msps),
+        "spread_pct": round(spread, 1),
+        "rep_msps": [round(v, 1) for v in rep_msps],
     }))
 
 

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Streaming-mode throughput on the chip (VERDICT r2 #2).
+
+The reference's actual operating shape is continuous streaming — the RX
+thread's work() called forever (gr-RXOFDM/python/synch_and_chan_est.py:140).
+Our chunked receivers (runtime/stream.py) pay one host dispatch per push();
+this bench measures the sustained Msamples/s through push() as a function of
+chunk size, to place the dispatch-overhead floor next to the batched
+whole-buffer numbers in BASELINE.md.
+
+One (receiver, config, chunk_len) per process (tunnel: one executable per
+process).  Usage: bench_streaming.py {reacq|legacy} {loopback64|lte1024} CHUNK
+
+Tunnel rules honoured: the IQ stream is generated ON DEVICE from real-tensor
+host inputs (complex H2D unsupported); chunks are pre-sliced device arrays;
+no D2H happens until after the timed region.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from lte_gnu_radio_code_tpu.models import txofdm
+from lte_gnu_radio_code_tpu.ops import channel as chan_ops
+from lte_gnu_radio_code_tpu.runtime import stream
+from lte_gnu_radio_code_tpu.utils.params import GOLDEN64, LTE1024, LTE2048
+
+CONFIGS = {"loopback64": GOLDEN64, "lte1024": LTE1024, "lte2048": LTE2048}
+
+
+def main():
+    which_rx = sys.argv[1] if len(sys.argv) > 1 else "reacq"
+    which = sys.argv[2] if len(sys.argv) > 2 else "loopback64"
+    chunk_len = int(sys.argv[3]) if len(sys.argv) > 3 else 4095
+    cfg = CONFIGS[which]
+
+    # --- device-side stream generation: a few back-to-back TX frames through
+    # the Fading channel + AWGN, built inside one jit from real host tensors.
+    n_frames = max(2, (4 * chunk_len) // cfg.frame_len + 1)
+    h = chan_ops.channel_taps("Fading")
+
+    def gen(bits, seed):
+        key = jax.random.fold_in(jax.random.PRNGKey(7), seed)
+        tx = jax.vmap(functools.partial(txofdm.tx_frame, cfg))(bits)
+        flat = tx.reshape(-1)
+        rx_clean = chan_ops.apply_channel(flat, h, max_impulse=cfg.nfft)
+        sig_pow = jnp.mean(jnp.abs(flat - jnp.mean(flat)) ** 2)
+        return chan_ops.awgn(cfg, rx_clean, key, sig_pow)
+
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(
+        rng.integers(0, 2, (n_frames, cfg.num_bits), dtype=np.int32))
+    sig = jax.block_until_ready(jax.jit(gen)(bits, jnp.int32(0)))
+
+    n_chunks = sig.shape[0] // chunk_len
+    assert n_chunks >= 2, "stream shorter than two chunks"
+    chunks = [jax.block_until_ready(
+        jax.lax.slice(sig, (i * chunk_len,), ((i + 1) * chunk_len,)))
+        for i in range(n_chunks)]
+
+    if which_rx == "reacq":
+        rx = stream.ReacqStreamingRx(cfg, chunk_len)
+    else:
+        rx = stream.LegacyStreamingRx(cfg, chunk_len, fo_range=(0.0,))
+
+    # compile + warm (first push compiles the chunk step)
+    for c in chunks[:3]:
+        rx.push(c)
+    jax.block_until_ready(rx.state.base)
+
+    # >=5 timed reps, median + spread.  Each rep cycles the pre-staged chunk
+    # list; outputs stay device-resident and unread (as a real pipeline
+    # consumer would keep them on device for the next stage).
+    rep_msps = []
+    for _ in range(5):
+        pushes, t0 = 0, time.perf_counter()
+        while time.perf_counter() - t0 < 1.5 or pushes < 8:
+            rx.push(chunks[pushes % n_chunks])
+            pushes += 1
+        jax.block_until_ready(rx.state.base)
+        dt = time.perf_counter() - t0
+        rep_msps.append(pushes * chunk_len / dt / 1e6)
+
+    # sanity after timing: the receiver actually detected frames.  (int32
+    # cast on device first — the tunnel cannot D2H bool arrays.)
+    any_det = jax.jit(lambda s: s.astype(jnp.int32))(rx.state.any_det)
+    assert int(np.asarray(any_det)) == 1, "no detection in stream bench"
+
+    msps = float(np.median(rep_msps))
+    spread = 100.0 * (max(rep_msps) - min(rep_msps)) / msps
+    print(json.dumps({
+        "metric": f"streaming RX throughput ({which_rx}, {which}, "
+                  f"chunk {chunk_len})",
+        "value": round(msps, 3),
+        "unit": "Msamples/s/chip",
+        "us_per_push": round(chunk_len / msps, 1),
+        "reps": len(rep_msps),
+        "spread_pct": round(spread, 1),
+        "rep_msps": [round(v, 1) for v in rep_msps],
+    }))
+
+
+if __name__ == "__main__":
+    main()

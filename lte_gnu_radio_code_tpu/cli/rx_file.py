@@ -69,6 +69,12 @@ def main(argv=None):
         ptrs, delays = cat(lambda o: o.ptrs), cat(lambda o: o.delays)
         fo_idx, phasors = cat(lambda o: o.fo_idx), cat(lambda o: o.phasors)
         despread = cat(lambda o: o.despread)
+        # --max-det applies in both modes: the batch path allocates exactly
+        # max_det slots, so cap the concatenated stream detections the same
+        # way (the legacy block's max_num_corr=100 table semantics).
+        ptrs, delays = ptrs[: args.max_det], delays[: args.max_det]
+        fo_idx, phasors = fo_idx[: args.max_det], phasors[: args.max_det]
+        despread = despread[: args.max_det]
         n = len(ptrs)
     else:
         f = legacy_rx.make_legacy_rx(cfg, len(rx),

@@ -73,7 +73,15 @@ def main(argv=None):
         if args.n_chunks:
             n_calls = args.n_chunks
         else:
-            total = src.row.size * args.repeat * args.num_files
+            # One full pass = every file's ACTUAL length x repeat; numbered
+            # pickles may have unequal row sizes, so sum them rather than
+            # multiplying the first file's size by num_files.
+            from ..io.pickles import load_pickle_iq
+            total = sum(
+                np.atleast_2d(load_pickle_iq(
+                    pathlib.Path(args.pickle_dir)
+                    / f"{args.file_stem}{k}.pckl"))[0].size
+                for k in range(args.num_files)) * args.repeat
             n_calls = -(-total // args.chunk)
         sink = CollectSink()
         Flowgraph(args.chunk).connect(src, sink).run(n_calls)

@@ -67,7 +67,11 @@ class GrcGraph:
 
 
 def _is_enabled(value) -> bool:
-    return str(value).strip().lower() not in ("0", "false", "disabled", "")
+    # 'bypassed' blocks are excluded from execution by GRC just like
+    # disabled ones (a bypassed DSP block must not be interpreted as
+    # running), so both states map to disabled here.
+    return str(value).strip().lower() not in (
+        "0", "false", "disabled", "bypassed", "")
 
 
 def load_grc(path: str) -> GrcGraph:
@@ -80,7 +84,13 @@ def load_grc(path: str) -> GrcGraph:
 
 
 def _load_grc_yaml(path: str, text: str) -> GrcGraph:
-    import yaml
+    try:
+        import yaml
+    except ImportError as e:
+        raise ImportError(
+            "GR 3.8+ .grc files are YAML; install the 'grc' extra "
+            "(pip install lte-gnu-radio-code-tpu[grc]) or pyyaml directly "
+            "to import them. GR 3.7 XML graphs need no extra.") from e
 
     doc = yaml.safe_load(text)
     blocks = []
@@ -157,14 +167,22 @@ def _eval(expr: str, env: Optional[Dict[str, object]] = None):
     if m:
         return list(_eval(m.group(1), env))
     # restricted arithmetic over variables: names + numbers + operators
+    # Operator whitelist deliberately excludes ** (a crafted parameter like
+    # `9**9**9` would hang the import) and requires numeric constants (so
+    # `'a'*10**9` style memory bombs can't reach eval).  String/list
+    # literals were already handled by ast.literal_eval above.
+    _ops = (ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod)
+    _unary = (ast.USub, ast.UAdd)
     tree_ok = False
     try:
         tree = ast.parse(s, mode="eval")
-        tree_ok = all(isinstance(n, (ast.Expression, ast.BinOp, ast.UnaryOp,
-                                     ast.Constant, ast.Name, ast.operator,
-                                     ast.unaryop, ast.List, ast.Tuple,
-                                     ast.Load))
-                      for n in ast.walk(tree))
+        tree_ok = all(
+            isinstance(n, (ast.Expression, ast.BinOp, ast.UnaryOp,
+                           ast.Constant, ast.Name, ast.List, ast.Tuple,
+                           ast.Load) + _ops + _unary)
+            for n in ast.walk(tree)) and all(
+            isinstance(n.value, (int, float, complex))
+            for n in ast.walk(tree) if isinstance(n, ast.Constant))
     except SyntaxError:
         pass
     if tree_ok:
