@@ -9,7 +9,9 @@ chunk size, to place the dispatch-overhead floor next to the batched
 whole-buffer numbers in BASELINE.md.
 
 One (receiver, config, chunk_len) per process (tunnel: one executable per
-process).  Usage: bench_streaming.py {reacq|legacy} {loopback64|lte1024} CHUNK
+process).  Usage: bench_streaming.py RECEIVER {loopback64|lte1024} CHUNK
+where RECEIVER is reacq | legacy | reacq_manyK | legacy_manyK (K = chunks
+per dispatch through push_many's lax.scan — the dispatch-amortised form).
 
 Tunnel rules honoured: the IQ stream is generated ON DEVICE from real-tensor
 host inputs (complex H2D unsupported); chunks are pre-sliced device arrays;
@@ -49,6 +51,10 @@ def main():
     which = sys.argv[2] if len(sys.argv) > 2 else "loopback64"
     chunk_len = int(sys.argv[3]) if len(sys.argv) > 3 else 4095
     cfg = CONFIGS[which]
+    many = 0
+    if "_many" in which_rx:
+        which_rx, k = which_rx.split("_many")
+        many = int(k)
 
     # --- device-side stream generation: a few back-to-back TX frames through
     # the Fading channel + AWGN, built inside one jit from real host tensors.
@@ -79,9 +85,19 @@ def main():
     else:
         rx = stream.LegacyStreamingRx(cfg, chunk_len, fo_range=(0.0,))
 
+    if many:
+        # pre-staged [K, chunk_len] groups, cycled through push_many
+        n_groups = max(2, n_chunks // many)
+        groups = [jax.block_until_ready(jnp.stack(
+            [chunks[(g * many + j) % n_chunks] for j in range(many)]))
+            for g in range(n_groups)]
+
     # compile + warm (first push compiles the chunk step)
-    for c in chunks[:3]:
-        rx.push(c)
+    if many:
+        rx.push_many(groups[0])
+    else:
+        for c in chunks[:3]:
+            rx.push(c)
     jax.block_until_ready(rx.state.base)
 
     # >=5 timed reps, median + spread.  Each rep cycles the pre-staged chunk
@@ -91,11 +107,15 @@ def main():
     for _ in range(5):
         pushes, t0 = 0, time.perf_counter()
         while time.perf_counter() - t0 < 1.5 or pushes < 8:
-            rx.push(chunks[pushes % n_chunks])
-            pushes += 1
+            if many:
+                rx.push_many(groups[pushes % n_groups])
+                pushes += 1
+            else:
+                rx.push(chunks[pushes % n_chunks])
+                pushes += 1
         jax.block_until_ready(rx.state.base)
         dt = time.perf_counter() - t0
-        rep_msps.append(pushes * chunk_len / dt / 1e6)
+        rep_msps.append(pushes * chunk_len * max(1, many) / dt / 1e6)
 
     # sanity after timing: the receiver actually detected frames.  (int32
     # cast on device first — the tunnel cannot D2H bool arrays.)
@@ -104,12 +124,13 @@ def main():
 
     msps = float(np.median(rep_msps))
     spread = 100.0 * (max(rep_msps) - min(rep_msps)) / msps
+    label = f"{which_rx}_many{many}" if many else which_rx
     print(json.dumps({
-        "metric": f"streaming RX throughput ({which_rx}, {which}, "
+        "metric": f"streaming RX throughput ({label}, {which}, "
                   f"chunk {chunk_len})",
         "value": round(msps, 3),
         "unit": "Msamples/s/chip",
-        "us_per_push": round(chunk_len / msps, 1),
+        "us_per_dispatch": round(chunk_len * max(1, many) / msps, 1),
         "reps": len(rep_msps),
         "spread_pct": round(spread, 1),
         "rep_msps": [round(v, 1) for v in rep_msps],

@@ -289,8 +289,10 @@ class ReacqStreamingRx:
         self.chunk_len = chunk_len
         self.det_max = reacq_det_max(cfg, chunk_len)
         self.state = reacq_init(cfg)
-        self._step = jax.jit(functools.partial(
-            reacq_step, cfg, det_max=self.det_max, fast=fast))
+        self._fn = functools.partial(
+            reacq_step, cfg, det_max=self.det_max, fast=fast)
+        self._step = jax.jit(self._fn)
+        self._many = {}
 
     def push(self, chunk, n_real: int | None = None) -> ReacqChunkOut:
         chunk = jnp.asarray(chunk, jnp.complex64)
@@ -299,6 +301,28 @@ class ReacqStreamingRx:
             n_real = self.chunk_len
         self.state, out = self._step(self.state, chunk, jnp.int32(n_real))
         return out
+
+    def push_many(self, chunks) -> ReacqChunkOut:
+        """K work() calls in ONE dispatch: lax.scan over full chunks.
+
+        Amortises the per-push host dispatch (~100 us on the axon tunnel —
+        the streaming-throughput ceiling at small chunks, BASELINE.md) while
+        keeping chunk-level semantics bit-identical to K sequential push()
+        calls.  chunks: [K, chunk_len]; returns ReacqChunkOut with a leading
+        K axis.  Partial/flush chunks still go through push()/finish()."""
+        chunks = jnp.asarray(chunks, jnp.complex64)
+        assert chunks.ndim == 2 and chunks.shape[1] == self.chunk_len
+        k = chunks.shape[0]
+        if k not in self._many:
+            fn, n = self._fn, self.chunk_len
+
+            def body(state, chunk):
+                return fn(state, chunk, jnp.int32(n))
+
+            self._many[k] = jax.jit(
+                lambda st, ch: jax.lax.scan(body, st, ch))
+        self.state, outs = self._many[k](self.state, chunks)
+        return outs
 
     def finish(self) -> list[ReacqChunkOut]:
         """Flush the lag with zero chunks so trailing trials resolve."""
@@ -666,9 +690,11 @@ class LegacyStreamingRx:
         self.chunk_len = chunk_len
         self.det_max = reacq_det_max(cfg, chunk_len)
         self.state = legacy_init(cfg)
-        self._step = jax.jit(functools.partial(
+        self._fn = functools.partial(
             legacy_stream_step, cfg, det_max=self.det_max,
-            bank=cfo_ops.cfo_bank(cfg, fo_range), dsss=dsss))
+            bank=cfo_ops.cfo_bank(cfg, fo_range), dsss=dsss)
+        self._step = jax.jit(self._fn)
+        self._many = {}
 
     def push(self, chunk, n_real: int | None = None) -> LegacyChunkOut:
         chunk = jnp.asarray(chunk, jnp.complex64)
@@ -677,6 +703,24 @@ class LegacyStreamingRx:
             n_real = self.chunk_len
         self.state, out = self._step(self.state, chunk, jnp.int32(n_real))
         return out
+
+    def push_many(self, chunks) -> LegacyChunkOut:
+        """K work() calls in ONE dispatch (lax.scan) — see
+        ReacqStreamingRx.push_many.  chunks: [K, chunk_len]; outputs carry a
+        leading K axis; bit-identical to K sequential push() calls."""
+        chunks = jnp.asarray(chunks, jnp.complex64)
+        assert chunks.ndim == 2 and chunks.shape[1] == self.chunk_len
+        k = chunks.shape[0]
+        if k not in self._many:
+            fn, n = self._fn, self.chunk_len
+
+            def body(state, chunk):
+                return fn(state, chunk, jnp.int32(n))
+
+            self._many[k] = jax.jit(
+                lambda st, ch: jax.lax.scan(body, st, ch))
+        self.state, outs = self._many[k](self.state, chunks)
+        return outs
 
     def finish(self) -> list[LegacyChunkOut]:
         """Flush the lag with zero chunks so trailing trials resolve."""

@@ -253,3 +253,56 @@ def test_reacq_checkpoint_resume(tmp_path, faded):
     r_hard = np.concatenate([np.asarray(o.hard_bits)[np.asarray(o.valid)]
                              for o in resumed])
     np.testing.assert_array_equal(f_hard, r_hard)
+
+
+def test_push_many_bit_identical_to_sequential(faded):
+    """push_many (K chunk-steps per dispatch via lax.scan) must equal K
+    sequential push() calls bit-for-bit — outputs AND carry state."""
+    bits, rx = faded
+    chunk = 960
+    n = (len(rx) // chunk) * chunk
+    chunks = np.asarray(rx[:n], np.complex64).reshape(-1, chunk)
+
+    a = stream_rt.ReacqStreamingRx(CFG, chunk)
+    b = stream_rt.ReacqStreamingRx(CFG, chunk)
+    outs_a = [a.push(c) for c in chunks]
+    outs_b = []
+    k = 4
+    for i in range(0, len(chunks) - len(chunks) % k, k):
+        outs_b.append(b.push_many(chunks[i: i + k]))
+    for c in chunks[len(chunks) - len(chunks) % k:]:
+        outs_b.append(jax.tree.map(lambda x: x[None], b.push(c)))
+
+    for field in ["ptrs", "delays", "valid", "phasors", "hard_bits"]:
+        va = np.concatenate([np.asarray(getattr(o, field))[None]
+                             for o in outs_a])
+        vb = np.concatenate([np.asarray(getattr(o, field)) for o in outs_b])
+        np.testing.assert_array_equal(va, vb, err_msg=field)
+    np.testing.assert_array_equal(np.asarray(a.state.hist),
+                                  np.asarray(b.state.hist))
+    assert int(a.state.base) == int(b.state.base)
+    assert int(a.state.last_det_ptr) == int(b.state.last_det_ptr)
+
+
+def test_push_many_legacy_bit_identical(faded):
+    bits, rx = faded
+    from lte_gnu_radio_code_tpu.utils.params import CFO_CASES, config_from_case
+    cfg = config_from_case(CFO_CASES, 0, snr_db=1e8)
+    bits0, tx = _tx(cfg, 3)
+    sig = golden.apply_channel(tx, golden.channel_taps("Fading"),
+                               max_impulse=cfg.nfft)
+    chunk = 510                       # multiple of the case-0 stride (15)
+    n = (len(sig) // chunk) * chunk
+    chunks = np.asarray(sig[:n], np.complex64).reshape(-1, chunk)
+    a = stream_rt.LegacyStreamingRx(cfg, chunk, fo_range=(0.0, 1500.0))
+    b = stream_rt.LegacyStreamingRx(cfg, chunk, fo_range=(0.0, 1500.0))
+    outs_a = [a.push(c) for c in chunks]
+    outs_b = [b.push_many(chunks[i: i + 3]) for i in range(0, len(chunks) - len(chunks) % 3, 3)]
+    outs_b += [jax.tree.map(lambda x: x[None], b.push(c))
+               for c in chunks[len(chunks) - len(chunks) % 3:]]
+    for field in ["ptrs", "delays", "fo_idx", "valid", "phasors", "despread"]:
+        va = np.concatenate([np.asarray(getattr(o, field))[None]
+                             for o in outs_a])
+        vb = np.concatenate([np.asarray(getattr(o, field)) for o in outs_b])
+        np.testing.assert_array_equal(va, vb, err_msg=field)
+    assert int(a.state.base) == int(b.state.base)
