@@ -461,8 +461,10 @@ class TrackerStreamingRx:
         self.slots = chunk_len // trk.tracker_stride(cfg) + 4
         self.det_max = chunk_len // (2 * cfg.cp_len + cfg.nfft) + 2
         self.state = track_stream_init(cfg)
-        self._step = jax.jit(functools.partial(
-            track_stream_step, cfg, slots=self.slots, det_max=self.det_max))
+        self._fn = functools.partial(
+            track_stream_step, cfg, slots=self.slots, det_max=self.det_max)
+        self._step = jax.jit(self._fn)
+        self._many = {}
 
     def push(self, chunk, n_real: int | None = None) -> TrackChunkOut:
         chunk = jnp.asarray(chunk, jnp.complex64)
@@ -471,6 +473,23 @@ class TrackerStreamingRx:
             n_real = self.chunk_len
         self.state, out = self._step(self.state, chunk, jnp.int32(n_real))
         return out
+
+    def push_many(self, chunks) -> TrackChunkOut:
+        """K work() calls in ONE dispatch (lax.scan) — see
+        ReacqStreamingRx.push_many."""
+        chunks = jnp.asarray(chunks, jnp.complex64)
+        assert chunks.ndim == 2 and chunks.shape[1] == self.chunk_len
+        k = chunks.shape[0]
+        if k not in self._many:
+            fn, n = self._fn, self.chunk_len
+
+            def body(state, chunk):
+                return fn(state, chunk, jnp.int32(n))
+
+            self._many[k] = jax.jit(
+                lambda st, ch: jax.lax.scan(body, st, ch))
+        self.state, outs = self._many[k](self.state, chunks)
+        return outs
 
     def finish(self) -> list[TrackChunkOut]:
         outs = []
@@ -496,14 +515,29 @@ class StreamingRx:
         self.cfg = cfg
         self.chunk_len = chunk_len
         self.state = init_state(cfg, chunk_len)
-        self._step = jax.jit(functools.partial(
-            stream_step, cfg, num_patterns_total=num_patterns_total))
+        self._fn = functools.partial(
+            stream_step, cfg, num_patterns_total=num_patterns_total)
+        self._step = jax.jit(self._fn)
+        self._many = {}
 
     def push(self, chunk) -> ChunkOut:
         chunk = jnp.asarray(chunk, jnp.complex64)
         assert chunk.shape[0] == self.chunk_len
         self.state, out = self._step(self.state, chunk)
         return out
+
+    def push_many(self, chunks) -> ChunkOut:
+        """K work() calls in ONE dispatch (lax.scan) — see
+        ReacqStreamingRx.push_many."""
+        chunks = jnp.asarray(chunks, jnp.complex64)
+        assert chunks.ndim == 2 and chunks.shape[1] == self.chunk_len
+        k = chunks.shape[0]
+        if k not in self._many:
+            fn = self._fn
+            self._many[k] = jax.jit(
+                lambda st, ch: jax.lax.scan(fn, st, ch))
+        self.state, outs = self._many[k](self.state, chunks)
+        return outs
 
     def finish(self) -> ChunkOut:
         """Flush: push zeros so trailing blocks inside the history resolve."""

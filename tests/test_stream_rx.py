@@ -306,3 +306,32 @@ def test_push_many_legacy_bit_identical(faded):
         vb = np.concatenate([np.asarray(getattr(o, field)) for o in outs_b])
         np.testing.assert_array_equal(va, vb, err_msg=field)
     assert int(a.state.base) == int(b.state.base)
+
+
+def test_push_many_tracker_and_single_lock(faded):
+    """push_many parity for the remaining two receivers (TrackerStreamingRx,
+    single-lock StreamingRx)."""
+    bits, rx = faded
+    chunk = 960
+    n = (len(rx) // chunk) * chunk
+    chunks = np.asarray(rx[:n], np.complex64).reshape(-1, chunk)
+
+    a = stream_rt.TrackerStreamingRx(CFG, chunk)
+    b = stream_rt.TrackerStreamingRx(CFG, chunk)
+    outs_a = [a.push(c) for c in chunks[:9]]
+    outs_b = [b.push_many(chunks[:9][i: i + 3]) for i in range(0, 9, 3)]
+    for field in ["ptrs", "valid", "phasors", "hard_bits"]:
+        va = np.stack([np.asarray(getattr(o, field)) for o in outs_a])
+        vb = np.concatenate([np.asarray(getattr(o, field)) for o in outs_b])
+        np.testing.assert_array_equal(va, vb, err_msg=field)
+    assert int(a.state.base) == int(b.state.base)
+
+    a = stream_rt.StreamingRx(CFG, chunk)
+    b = stream_rt.StreamingRx(CFG, chunk)
+    outs_a = [a.push(c) for c in chunks[:8]]
+    outs_b = [b.push_many(chunks[:8][i: i + 4]) for i in range(0, 8, 4)]
+    for field in ["phasors", "block_ids", "valid"]:
+        va = np.stack([np.asarray(getattr(o, field)) for o in outs_a])
+        vb = np.concatenate([np.asarray(getattr(o, field)) for o in outs_b])
+        np.testing.assert_array_equal(va, vb, err_msg=field)
+    assert int(a.state.base) == int(b.state.base)
