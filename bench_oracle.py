@@ -15,7 +15,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")  # never grab the TPU tunnel
+# Never grab the TPU tunnel: the axon site hook overrides JAX_PLATFORMS, so
+# the env var alone is decoration — flip the config flag too, in case any
+# import below ever transitively pulls in jax (golden.py is pure NumPy today).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+try:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:
+    pass
 
 import numpy as np
 

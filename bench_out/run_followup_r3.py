@@ -45,8 +45,10 @@ def run(tag, args, timeout=5400):
         p = subprocess.run([sys.executable] + args, cwd=REPO, timeout=timeout,
                            capture_output=True, text=True)
         out, err, code = p.stdout, p.stderr, p.returncode
-    except subprocess.TimeoutExpired:
-        out, err, code = "", "TIMEOUT", -1
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+            else (e.stdout or "")
+        err, code = "TIMEOUT", -1
     dt = time.time() - t0
     log(out.strip())
     log(f"exit={code} wall={dt:.0f}s")

@@ -166,28 +166,40 @@ def _eval(expr: str, env: Optional[Dict[str, object]] = None):
     m = re.match(r"^list\((.*)\)$", s)
     if m:
         return list(_eval(m.group(1), env))
-    # restricted arithmetic over variables: names + numbers + operators
-    # Operator whitelist deliberately excludes ** (a crafted parameter like
-    # `9**9**9` would hang the import) and requires numeric constants (so
-    # `'a'*10**9` style memory bombs can't reach eval).  String/list
-    # literals were already handled by ast.literal_eval above.
+    # restricted arithmetic over variables: names + numbers + operators.
+    # `**` is allowed only with a small literal integer exponent (the GRC
+    # idiom `2**10`), never nested (`9**9**9` would hang the import); and
+    # every operand — constant OR variable value — must be numeric, so
+    # `'a'*10**9`-style memory bombs can't reach eval through either path.
     _ops = (ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod)
     _unary = (ast.USub, ast.UAdd)
+
+    def _pow_ok(n):
+        return (not isinstance(n.op, ast.Pow) or
+                (isinstance(n.right, ast.Constant) and
+                 isinstance(n.right.value, int) and
+                 abs(n.right.value) <= 64))
+
     tree_ok = False
     try:
         tree = ast.parse(s, mode="eval")
         tree_ok = all(
             isinstance(n, (ast.Expression, ast.BinOp, ast.UnaryOp,
                            ast.Constant, ast.Name, ast.List, ast.Tuple,
-                           ast.Load) + _ops + _unary)
+                           ast.Load, ast.Pow) + _ops + _unary)
             for n in ast.walk(tree)) and all(
             isinstance(n.value, (int, float, complex))
-            for n in ast.walk(tree) if isinstance(n, ast.Constant))
+            for n in ast.walk(tree) if isinstance(n, ast.Constant)) and all(
+            _pow_ok(n) for n in ast.walk(tree) if isinstance(n, ast.BinOp))
     except SyntaxError:
         pass
     if tree_ok:
         names = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
-        if names <= set(env):
+        numeric = (int, float, complex)
+        if names <= {k for k, v in env.items()
+                     if isinstance(v, numeric) or
+                     (isinstance(v, (list, tuple)) and
+                      all(isinstance(e, numeric) for e in v))}:
             return eval(compile(tree, "<grc>", "eval"), {"__builtins__": {}},
                         dict(env))
     raise ValueError(f"unresolvable GRC expression: {expr!r}")

@@ -157,7 +157,13 @@ def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     ct = 512
     while ct > 128 and 2 * 4 * klen_ext * ct > 4 * 2 ** 20:
         ct //= 2
-    gdp = -(-gd // ct) * ct
+    # clamp to the real column count (lane-padded): small configs must not
+    # pad the correlation dot out to a full 512-wide tile (~4x wasted MXU
+    # work at GOLDEN64's gd=136)
+    gdp = -(-gd // 128) * 128
+    ct = min(ct, gdp)
+    while gdp % ct:
+        ct -= 128
     n_ctiles = gdp // ct
     pad_c = ((0, 0), (0, gdp - gd))
     ktr, kti = np.pad(ktr, pad_c), np.pad(kti, pad_c)
@@ -167,7 +173,10 @@ def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     # rows*se*8 B, <= ~2 MiB for every shipped config/stride at frame scale
     # (the weights were the LTE-scale OOM, now blocked).  Guard the truly
     # pathological shapes (very long buffers) with a clear error.
+    # (the 2*tp*klen_ext term is the in-kernel Hankel scratch xr/xi — the
+    # dominant un-tiled buffer, same order as the weight slabs)
     need_vmem = 4 * (2 * klen_ext * ct + 2 * rows * se + 2 * tp * ct +
+                     2 * tp * klen_ext +
                      2 * klen_ext * g * (m0 := cfg.m_synch) + klen_ext * g)
     if need_vmem > 12 * 2 ** 20:
         raise ValueError(

@@ -274,6 +274,24 @@ def reacq_step(cfg: OFDMConfig, state: ReacqState, chunk: jnp.ndarray,
     return new_state, out
 
 
+def _push_many(rx, chunks, with_n_real=True):
+    """Shared push_many body for all streaming receivers: K work() calls
+    in ONE dispatch via lax.scan over rx._fn, bit-identical to K sequential
+    push() calls (outputs gain a leading K axis).  Amortises the per-push
+    host dispatch (~100 us on the axon tunnel — the streaming-throughput
+    ceiling at small chunks, BASELINE.md).  Full chunks only; partial and
+    flush chunks still go through push()/finish()."""
+    chunks = jnp.asarray(chunks, jnp.complex64)
+    assert chunks.ndim == 2 and chunks.shape[1] == rx.chunk_len
+    k = chunks.shape[0]
+    if k not in rx._many:
+        fn, n = rx._fn, rx.chunk_len
+        body = (lambda st, c: fn(st, c, jnp.int32(n))) if with_n_real else fn
+        rx._many[k] = jax.jit(lambda st, ch: jax.lax.scan(body, st, ch))
+    rx.state, outs = rx._many[k](rx.state, chunks)
+    return outs
+
+
 class ReacqStreamingRx:
     """Host-side driver for the continuous multi-detection receiver.
 
@@ -303,26 +321,8 @@ class ReacqStreamingRx:
         return out
 
     def push_many(self, chunks) -> ReacqChunkOut:
-        """K work() calls in ONE dispatch: lax.scan over full chunks.
-
-        Amortises the per-push host dispatch (~100 us on the axon tunnel —
-        the streaming-throughput ceiling at small chunks, BASELINE.md) while
-        keeping chunk-level semantics bit-identical to K sequential push()
-        calls.  chunks: [K, chunk_len]; returns ReacqChunkOut with a leading
-        K axis.  Partial/flush chunks still go through push()/finish()."""
-        chunks = jnp.asarray(chunks, jnp.complex64)
-        assert chunks.ndim == 2 and chunks.shape[1] == self.chunk_len
-        k = chunks.shape[0]
-        if k not in self._many:
-            fn, n = self._fn, self.chunk_len
-
-            def body(state, chunk):
-                return fn(state, chunk, jnp.int32(n))
-
-            self._many[k] = jax.jit(
-                lambda st, ch: jax.lax.scan(body, st, ch))
-        self.state, outs = self._many[k](self.state, chunks)
-        return outs
+        """K work() calls in ONE dispatch (lax.scan) — see _push_many."""
+        return _push_many(self, chunks)
 
     def finish(self) -> list[ReacqChunkOut]:
         """Flush the lag with zero chunks so trailing trials resolve."""
@@ -475,21 +475,8 @@ class TrackerStreamingRx:
         return out
 
     def push_many(self, chunks) -> TrackChunkOut:
-        """K work() calls in ONE dispatch (lax.scan) — see
-        ReacqStreamingRx.push_many."""
-        chunks = jnp.asarray(chunks, jnp.complex64)
-        assert chunks.ndim == 2 and chunks.shape[1] == self.chunk_len
-        k = chunks.shape[0]
-        if k not in self._many:
-            fn, n = self._fn, self.chunk_len
-
-            def body(state, chunk):
-                return fn(state, chunk, jnp.int32(n))
-
-            self._many[k] = jax.jit(
-                lambda st, ch: jax.lax.scan(body, st, ch))
-        self.state, outs = self._many[k](self.state, chunks)
-        return outs
+        """K work() calls in ONE dispatch (lax.scan) — see _push_many."""
+        return _push_many(self, chunks)
 
     def finish(self) -> list[TrackChunkOut]:
         outs = []
@@ -527,17 +514,8 @@ class StreamingRx:
         return out
 
     def push_many(self, chunks) -> ChunkOut:
-        """K work() calls in ONE dispatch (lax.scan) — see
-        ReacqStreamingRx.push_many."""
-        chunks = jnp.asarray(chunks, jnp.complex64)
-        assert chunks.ndim == 2 and chunks.shape[1] == self.chunk_len
-        k = chunks.shape[0]
-        if k not in self._many:
-            fn = self._fn
-            self._many[k] = jax.jit(
-                lambda st, ch: jax.lax.scan(fn, st, ch))
-        self.state, outs = self._many[k](self.state, chunks)
-        return outs
+        """K work() calls in ONE dispatch (lax.scan) — see _push_many."""
+        return _push_many(self, chunks, with_n_real=False)
 
     def finish(self) -> ChunkOut:
         """Flush: push zeros so trailing blocks inside the history resolve."""
@@ -739,22 +717,8 @@ class LegacyStreamingRx:
         return out
 
     def push_many(self, chunks) -> LegacyChunkOut:
-        """K work() calls in ONE dispatch (lax.scan) — see
-        ReacqStreamingRx.push_many.  chunks: [K, chunk_len]; outputs carry a
-        leading K axis; bit-identical to K sequential push() calls."""
-        chunks = jnp.asarray(chunks, jnp.complex64)
-        assert chunks.ndim == 2 and chunks.shape[1] == self.chunk_len
-        k = chunks.shape[0]
-        if k not in self._many:
-            fn, n = self._fn, self.chunk_len
-
-            def body(state, chunk):
-                return fn(state, chunk, jnp.int32(n))
-
-            self._many[k] = jax.jit(
-                lambda st, ch: jax.lax.scan(body, st, ch))
-        self.state, outs = self._many[k](self.state, chunks)
-        return outs
+        """K work() calls in ONE dispatch (lax.scan) — see _push_many."""
+        return _push_many(self, chunks)
 
     def finish(self) -> list[LegacyChunkOut]:
         """Flush the lag with zero chunks so trailing trials resolve."""

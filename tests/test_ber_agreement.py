@@ -122,7 +122,7 @@ def test_cfo_case_ber_point_matches_oracle_mid_snr():
     from lte_gnu_radio_code_tpu.utils.params import CFO_CASES, config_from_case
 
     cfg = config_from_case(CFO_CASES, 0, snr_db=8.0)
-    f = legacy_rx.make_legacy_rx(cfg, 0, fo_range=(0.0,), max_det=24)
+    f = None                          # built at the actual buffer length
     bers = []
     for seed in range(8):
         rng = np.random.default_rng(seed)
@@ -133,7 +133,7 @@ def test_cfo_case_ber_point_matches_oracle_mid_snr():
         nv = np.var(tx) * 10 ** (-cfg.snr_db / 10)
         rx = rx + np.sqrt(nv / 2) * (rng.standard_normal(len(rx)) +
                                      1j * rng.standard_normal(len(rx)))
-        if seed == 0:          # build once at the actual buffer length
+        if f is None:          # build once at the actual buffer length
             f = legacy_rx.make_legacy_rx(cfg, len(rx), fo_range=(0.0,),
                                          max_det=24)
         o = L.rx_frame_cfo(cfg, rx, fo_range=(0.0,), max_det=24)
