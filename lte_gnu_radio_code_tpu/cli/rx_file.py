@@ -55,13 +55,23 @@ def main(argv=None):
 
         stride = max(1, cfg.stride)
         chunk = -(-args.stream // stride) * stride
+        import jax
+
         srx = LegacyStreamingRx(cfg, chunk, fo_range=tuple(args.fo_range),
                                 dsss=dsss)
         buf = np.zeros(-(-len(rx) // chunk) * chunk, np.complex64)
         buf[: len(rx)] = rx
-        outs = [srx.push(buf[i: i + chunk],
-                         n_real=max(0, min(chunk, len(rx) - i)))
-                for i in range(0, len(buf), chunk)]
+        # full chunks ride push_many (K work() calls per device dispatch);
+        # only a trailing partial chunk needs per-push n_real
+        n_full = len(rx) // chunk
+        outs = []
+        if n_full:
+            many = srx.push_many(buf[: n_full * chunk].reshape(n_full, chunk))
+            outs.extend(jax.tree.map(lambda x, j=j: x[j], many)
+                        for j in range(n_full))
+        for i in range(n_full * chunk, len(buf), chunk):
+            outs.append(srx.push(buf[i: i + chunk],
+                                 n_real=max(0, len(rx) - i)))
         outs.extend(srx.finish())
         valid = [np.asarray(o.valid) for o in outs]
         cat = lambda f_: np.concatenate(
