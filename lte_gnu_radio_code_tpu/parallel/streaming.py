@@ -146,6 +146,7 @@ class ShardedReacqStreamingRx:
         self._step, self.det_max = make_sharded_reacq_step(
             cfg, chunk_len, mesh, axis, fast=fast)
         self.state = reacq_init(cfg)
+        self._many = {}
 
     def push(self, chunk, n_real: int | None = None) -> ReacqChunkOut:
         chunk = jnp.asarray(chunk, jnp.complex64)
@@ -154,6 +155,20 @@ class ShardedReacqStreamingRx:
             n_real = self.chunk_len
         self.state, out = self._step(self.state, chunk, jnp.int32(n_real))
         return out
+
+    def push_many(self, chunks) -> ReacqChunkOut:
+        """K sharded work() calls in ONE dispatch: lax.scan over the
+        shard_map'd chunk step (see runtime.stream._push_many) — the
+        sharded twin is bit-identical to K sequential push() calls."""
+        chunks = jnp.asarray(chunks, jnp.complex64)
+        assert chunks.ndim == 2 and chunks.shape[1] == self.chunk_len
+        k = chunks.shape[0]
+        if k not in self._many:
+            step, n = self._step, self.chunk_len
+            self._many[k] = jax.jit(lambda st, ch: jax.lax.scan(
+                lambda s, c: step(s, c, jnp.int32(n)), st, ch))
+        self.state, outs = self._many[k](self.state, chunks)
+        return outs
 
     def finish(self) -> list[ReacqChunkOut]:
         outs = []
@@ -312,6 +327,20 @@ class ShardedLegacyStreamingRx:
         self._step, self.det_max = make_sharded_legacy_step(
             cfg, chunk_len, mesh, axis, fo_range=fo_range, dsss=dsss)
         self.state = legacy_init(cfg)
+        self._many = {}
+
+    def push_many(self, chunks) -> LegacyChunkOut:
+        """K sharded work() calls in ONE dispatch — see
+        ShardedReacqStreamingRx.push_many."""
+        chunks = jnp.asarray(chunks, jnp.complex64)
+        assert chunks.ndim == 2 and chunks.shape[1] == self.chunk_len
+        k = chunks.shape[0]
+        if k not in self._many:
+            step, n = self._step, self.chunk_len
+            self._many[k] = jax.jit(lambda st, ch: jax.lax.scan(
+                lambda s, c: step(s, c, jnp.int32(n)), st, ch))
+        self.state, outs = self._many[k](self.state, chunks)
+        return outs
 
     def push(self, chunk, n_real: int | None = None) -> LegacyChunkOut:
         chunk = jnp.asarray(chunk, jnp.complex64)

@@ -335,3 +335,26 @@ def test_push_many_tracker_and_single_lock(faded):
         vb = np.concatenate([np.asarray(getattr(o, field)) for o in outs_b])
         np.testing.assert_array_equal(va, vb, err_msg=field)
     assert int(a.state.base) == int(b.state.base)
+
+
+def test_sharded_push_many_bit_identical(faded):
+    """Sharded push_many (scan over the shard_map'd chunk step) == K
+    sequential sharded push() calls, bit-for-bit."""
+    from lte_gnu_radio_code_tpu.parallel import mesh as meshmod
+    from lte_gnu_radio_code_tpu.parallel import streaming as pstream
+
+    bits, rx = faded
+    chunk = 1920
+    mesh = meshmod.time_mesh(4)
+    n = (len(rx) // chunk) * chunk
+    chunks = np.asarray(rx[:n], np.complex64).reshape(-1, chunk)
+
+    a = pstream.ShardedReacqStreamingRx(CFG, chunk, mesh)
+    b = pstream.ShardedReacqStreamingRx(CFG, chunk, mesh)
+    outs_a = [a.push(c) for c in chunks[:8]]
+    outs_b = [b.push_many(chunks[:8][i: i + 4]) for i in range(0, 8, 4)]
+    for field in ["ptrs", "delays", "valid", "phasors", "hard_bits"]:
+        va = np.stack([np.asarray(getattr(o, field)) for o in outs_a])
+        vb = np.concatenate([np.asarray(getattr(o, field)) for o in outs_b])
+        np.testing.assert_array_equal(va, vb, err_msg=field)
+    assert int(a.state.base) == int(b.state.base)
