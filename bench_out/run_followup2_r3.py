@@ -72,7 +72,9 @@ def main():
                          ("reacq_many64", "loopback64", 4095),
                          ("reacq_many16", "lte1024", 4080),
                          ("reacq_many16", "lte1024", 65280),
-                         ("legacy_many16", "loopback64", 4095)]:
+                         ("legacy_many16", "loopback64", 4095),
+                         ("reacq_batch16_many16", "loopback64", 4095),
+                         ("reacq_batch16_many16", "lte1024", 4080)]:
         run(f"stream:{rx}:{c}:{chunk}",
             ["bench_streaming.py", rx, c, str(chunk)])
     log(f"##### FOLLOW-UP2 DONE {time.strftime('%F %T')} #####")

@@ -51,10 +51,12 @@ def main():
     which = sys.argv[2] if len(sys.argv) > 2 else "loopback64"
     chunk_len = int(sys.argv[3]) if len(sys.argv) > 3 else 4095
     cfg = CONFIGS[which]
-    many = 0
-    if "_many" in which_rx:
-        which_rx, k = which_rx.split("_many")
-        many = int(k)
+    import re
+    m = re.match(r"^(reacq|legacy)(?:_batch(\d+))?(?:_many(\d+))?$", which_rx)
+    assert m, f"bad receiver spec {which_rx!r}"
+    which_rx = m.group(1)
+    nb = int(m.group(2) or 0)         # streams per dispatch (vmap)
+    many = int(m.group(3) or 0)       # chunks per dispatch (scan)
 
     # --- device-side stream generation: a few back-to-back TX frames through
     # the Fading channel + AWGN, built inside one jit from real host tensors.
@@ -80,7 +82,14 @@ def main():
         jax.lax.slice(sig, (i * chunk_len,), ((i + 1) * chunk_len,)))
         for i in range(n_chunks)]
 
-    if which_rx == "reacq":
+    if nb:
+        assert which_rx == "reacq", "batch mode: reacq only"
+        rx = stream.BatchReacqStreamingRx(cfg, chunk_len, batch=nb)
+        # every stream carries the same IQ (content doesn't affect timing);
+        # broadcast on device
+        bcast = jax.jit(lambda c: jnp.broadcast_to(c, (nb, chunk_len)) + 0)
+        chunks = [jax.block_until_ready(bcast(c)) for c in chunks]
+    elif which_rx == "reacq":
         rx = stream.ReacqStreamingRx(cfg, chunk_len)
     else:
         rx = stream.LegacyStreamingRx(cfg, chunk_len, fo_range=(0.0,))
@@ -115,22 +124,25 @@ def main():
                 pushes += 1
         jax.block_until_ready(rx.state.base)
         dt = time.perf_counter() - t0
-        rep_msps.append(pushes * chunk_len * max(1, many) / dt / 1e6)
+        rep_msps.append(
+            pushes * chunk_len * max(1, many) * max(1, nb) / dt / 1e6)
 
     # sanity after timing: the receiver actually detected frames.  (int32
     # cast on device first — the tunnel cannot D2H bool arrays.)
     any_det = jax.jit(lambda s: s.astype(jnp.int32))(rx.state.any_det)
-    assert int(np.asarray(any_det)) == 1, "no detection in stream bench"
+    assert int(np.asarray(any_det).min()) == 1, "no detection in stream bench"
 
     msps = float(np.median(rep_msps))
     spread = 100.0 * (max(rep_msps) - min(rep_msps)) / msps
-    label = f"{which_rx}_many{many}" if many else which_rx
+    label = which_rx + (f"_batch{nb}" if nb else "") + \
+        (f"_many{many}" if many else "")
     print(json.dumps({
         "metric": f"streaming RX throughput ({label}, {which}, "
                   f"chunk {chunk_len})",
         "value": round(msps, 3),
         "unit": "Msamples/s/chip",
-        "us_per_dispatch": round(chunk_len * max(1, many) / msps, 1),
+        "us_per_dispatch": round(
+            chunk_len * max(1, many) * max(1, nb) / msps, 1),
         "reps": len(rep_msps),
         "spread_pct": round(spread, 1),
         "rep_msps": [round(v, 1) for v in rep_msps],

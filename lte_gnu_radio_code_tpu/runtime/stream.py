@@ -355,6 +355,76 @@ class ReacqStreamingRx:
                 any_det=jnp.bool_(z["any_det"]))
 
 
+class BatchReacqStreamingRx:
+    """B independent continuous streams on one chip, one dispatch per step:
+    the chunk step vmapped over a leading stream axis.
+
+    This is the production serving shape — many carriers / antennas / users
+    per chip — and the way streaming actually fills the MXU: a single
+    stream's chunk step underutilises the arrays, B of them batch the same
+    matmuls (the GR analog is B independent flowgraphs, each with its own
+    RX thread).  Each stream has fully independent carry (lock table,
+    refractory pointer, history).
+
+    push(chunks):       [B, chunk_len]     -> ReacqChunkOut with leading B
+    push_many(chunks):  [K, B, chunk_len]  -> leading (K, B); K sequential
+                        steps of all B streams in ONE dispatch (lax.scan of
+                        the vmapped step — composes both amortisations).
+    """
+
+    def __init__(self, cfg: OFDMConfig, chunk_len: int, batch: int,
+                 fast=None):
+        stride = max(1, cfg.stride)
+        assert chunk_len % stride == 0
+        self.cfg = cfg
+        self.chunk_len = chunk_len
+        self.batch = batch
+        self.det_max = reacq_det_max(cfg, chunk_len)
+        base = functools.partial(
+            reacq_step, cfg, det_max=self.det_max, fast=fast)
+        # n_real broadcast: one scalar for all streams (sources advance in
+        # lockstep; per-stream flush lengths aren't needed — finish() pads
+        # every stream with the same zero chunks)
+        self._fn = jax.vmap(base, in_axes=(0, 0, None))
+        self._step = jax.jit(self._fn)
+        self._many = {}
+        one = reacq_init(cfg)
+        self.state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one)
+
+    def push(self, chunks, n_real: int | None = None) -> ReacqChunkOut:
+        chunks = jnp.asarray(chunks, jnp.complex64)
+        assert chunks.shape == (self.batch, self.chunk_len)
+        if n_real is None:
+            n_real = self.chunk_len
+        self.state, out = self._step(self.state, chunks, jnp.int32(n_real))
+        return out
+
+    def push_many(self, chunks) -> ReacqChunkOut:
+        chunks = jnp.asarray(chunks, jnp.complex64)
+        assert chunks.ndim == 3 and \
+            chunks.shape[1:] == (self.batch, self.chunk_len)
+        k = chunks.shape[0]
+        if k not in self._many:
+            fn, n = self._fn, self.chunk_len
+            body = lambda st, c: fn(st, c, jnp.int32(n))
+            self._many[k] = jax.jit(
+                lambda st, ch: jax.lax.scan(body, st, ch))
+        self.state, outs = self._many[k](self.state, chunks)
+        return outs
+
+    def finish(self) -> list[ReacqChunkOut]:
+        """Flush the lag with zero chunks so trailing trials resolve."""
+        outs = []
+        flushed = 0
+        while flushed < reacq_lag(self.cfg):
+            outs.append(self.push(
+                jnp.zeros((self.batch, self.chunk_len), jnp.complex64),
+                n_real=0))
+            flushed += self.chunk_len
+        return outs
+
+
 # ---------------------------------------------------------------------------
 # Streaming tracker (R6 SynchronizeAndEstimate work() semantics)
 # ---------------------------------------------------------------------------

@@ -358,3 +358,34 @@ def test_sharded_push_many_bit_identical(faded):
         vb = np.concatenate([np.asarray(getattr(o, field)) for o in outs_b])
         np.testing.assert_array_equal(va, vb, err_msg=field)
     assert int(a.state.base) == int(b.state.base)
+
+
+def test_batch_streaming_equals_independent_streams():
+    """BatchReacqStreamingRx (B vmapped streams, one dispatch) must equal B
+    independent ReacqStreamingRx runs bit-for-bit — including push_many's
+    [K, B] composition."""
+    cfg = CFG
+    chunk = 960
+    sigs = []
+    for seed in range(3):
+        bits, tx = _tx(cfg, seed + 10)
+        sigs.append(golden.apply_channel(tx, golden.channel_taps("Fading")))
+    n = min(len(s) for s in sigs)
+    n = (n // chunk) * chunk
+    streams = np.stack([np.asarray(s[:n], np.complex64) for s in sigs])
+    chunks = streams.reshape(3, -1, chunk).transpose(1, 0, 2)  # [K, B, chunk]
+
+    brx = stream_rt.BatchReacqStreamingRx(cfg, chunk, batch=3)
+    outs_b = []
+    outs_b.append(brx.push_many(chunks[:8]))          # [8, B, ...]
+    for kc in chunks[8:]:
+        outs_b.append(jax.tree.map(lambda x: x[None], brx.push(kc)))
+    vb = {f: np.concatenate([np.asarray(getattr(o, f)) for o in outs_b])
+          for f in ["ptrs", "delays", "valid", "phasors", "hard_bits"]}
+
+    for b in range(3):
+        rx1 = stream_rt.ReacqStreamingRx(cfg, chunk)
+        outs_a = [rx1.push(c) for c in chunks[:, b]]
+        for f, arr in vb.items():
+            va = np.stack([np.asarray(getattr(o, f)) for o in outs_a])
+            np.testing.assert_array_equal(va, arr[:, b], err_msg=f"{f}[{b}]")
