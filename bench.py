@@ -5,10 +5,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Msamples/s/chip", "vs_baseline": N}
 
 Baseline: the CPU reference oracle (reference_cpu/golden.py, a literal NumPy
-replication of the reference signal chain) measured on this machine at
-1.01 Msamples/s/core for the canonical ofdm_chain loopback config (NFFT 64,
-CP 16, QPSK, Fading channel, SNR 100 — BASELINE.md).  The reference system's
-own design rate for this config is 0.96 Msps (SystemModel.py:37).
+replication of the reference signal chain) measured on this machine by
+bench_oracle.py — see ORACLE_MSPS below and the per-config oracle rows in
+BASELINE.md.  The reference system's own design rate for the loopback config
+is 0.96 Msps (SystemModel.py:37).
 
 TPU notes: the axon tunnel supports complex compute but NOT complex
 host<->device transfers, so the bench transfers only real tensors; all IQ
@@ -44,7 +44,7 @@ from lte_gnu_radio_code_tpu.utils.params import GOLDEN64
 # CPU reference oracle throughput per config, measured on this machine by
 # bench_oracle.py (median of >=3 reps; BASELINE.md "oracle" rows).  Each TPU
 # number is divided by ITS OWN config's oracle, not the loopback64 one.
-ORACLE_MSPS = {"loopback64": 1.02, "lte1024": 1.90, "lte2048": 2.04}
+ORACLE_MSPS = {"loopback64": 1.09, "lte1024": 2.1, "lte2048": 2.2}
 
 
 def bench_step(cfg, h, n_trials, num_patterns, bits, seed):
