@@ -30,30 +30,39 @@ def log(msg):
         f.write(msg + "\n")
 
 
-def run(tag, args, timeout=5400):
-    log(f"=== {tag} === ({time.strftime('%H:%M:%S')})")
-    t0 = time.time()
-    try:
-        p = subprocess.run([sys.executable] + args, cwd=REPO, timeout=timeout,
-                           capture_output=True, text=True)
-        out, err, code = p.stdout, p.stderr, p.returncode
-    except subprocess.TimeoutExpired as e:
-        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
-            else (e.stdout or "")
-        err, code = "TIMEOUT", -1
-    dt = time.time() - t0
-    log(out.strip())
-    log(f"exit={code} wall={dt:.0f}s")
-    if err and code != 0:
-        log("stderr tail: " + err.strip()[-2000:])
+def run(tag, args, timeout=2400, tries=2):
+    """Timeouts are sized for a HEALTHY tunnel (compiles are minutes, cached
+    repeats are seconds); a wedged tunnel RPC shows up as a timeout and gets
+    ONE retry — the persistent compile cache makes the redo cheap (observed
+    2026-08-21: a bench process finished its compile, wrote the cache entry,
+    then hung forever in a tunnel RPC; the rerun compiled in 0.6 s)."""
     parsed = None
-    for line in out.strip().splitlines():
+    for attempt in range(tries):
+        log(f"=== {tag} === ({time.strftime('%H:%M:%S')}"
+            f"{', retry' if attempt else ''})")
+        t0 = time.time()
         try:
-            parsed = json.loads(line)
-        except (json.JSONDecodeError, ValueError):
-            continue
-    results[tag] = {"parsed": parsed, "exit": code, "wall_s": round(dt)}
-    SUMMARY.write_text(json.dumps(results, indent=1))
+            p = subprocess.run([sys.executable] + args, cwd=REPO,
+                               timeout=timeout, capture_output=True, text=True)
+            out, err, code = p.stdout, p.stderr, p.returncode
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+                else (e.stdout or "")
+            err, code = "TIMEOUT", -1
+        dt = time.time() - t0
+        log(out.strip())
+        log(f"exit={code} wall={dt:.0f}s")
+        if err and code != 0:
+            log("stderr tail: " + err.strip()[-2000:])
+        for line in out.strip().splitlines():
+            try:
+                parsed = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+        results[tag] = {"parsed": parsed, "exit": code, "wall_s": round(dt)}
+        SUMMARY.write_text(json.dumps(results, indent=1))
+        if code == 0:
+            break
     return parsed
 
 
@@ -74,7 +83,7 @@ def main():
 
     for k in ["sync_convbank", "sync_exact"]:
         for c in ["lte1024", "lte2048", "loopback64"]:
-            run(f"shootout:{k}:{c}", ["bench_kernels.py", k, c], timeout=3600)
+            run(f"shootout:{k}:{c}", ["bench_kernels.py", k, c])
 
     for rx, c, chunk in [("reacq", "loopback64", 4095),
                          ("reacq", "loopback64", 65536),
@@ -83,7 +92,7 @@ def main():
                          ("legacy", "loopback64", 4095),
                          ("legacy", "lte1024", 65280)]:
         run(f"stream:{rx}:{c}:{chunk}",
-            ["bench_streaming.py", rx, c, str(chunk)], timeout=3600)
+            ["bench_streaming.py", rx, c, str(chunk)])
 
     log(f"##### SWEEP DONE {time.strftime('%F %T')} #####")
 

@@ -31,30 +31,35 @@ def prev_running():
         return False
 
 
-def run(tag, args, timeout=3600):
-    log(f"=== {tag} === ({time.strftime('%H:%M:%S')})")
-    t0 = time.time()
-    try:
-        p = subprocess.run([sys.executable] + args, cwd=REPO, timeout=timeout,
-                           capture_output=True, text=True)
-        out, err, code = p.stdout, p.stderr, p.returncode
-    except subprocess.TimeoutExpired as e:
-        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
-            else (e.stdout or "")
-        err, code = "TIMEOUT", -1
-    dt = time.time() - t0
-    log(out.strip())
-    log(f"exit={code} wall={dt:.0f}s")
-    if err and code != 0:
-        log("stderr tail: " + err.strip()[-2000:])
+def run(tag, args, timeout=1800, tries=2):
     parsed = None
-    for line in out.strip().splitlines():
+    for attempt in range(tries):
+        log(f"=== {tag} === ({time.strftime('%H:%M:%S')}"
+            f"{', retry' if attempt else ''})")
+        t0 = time.time()
         try:
-            parsed = json.loads(line)
-        except (json.JSONDecodeError, ValueError):
-            continue
-    results[tag] = {"parsed": parsed, "exit": code, "wall_s": round(dt)}
-    SUMMARY.write_text(json.dumps(results, indent=1))
+            p = subprocess.run([sys.executable] + args, cwd=REPO,
+                               timeout=timeout, capture_output=True, text=True)
+            out, err, code = p.stdout, p.stderr, p.returncode
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+                else (e.stdout or "")
+            err, code = "TIMEOUT", -1
+        dt = time.time() - t0
+        log(out.strip())
+        log(f"exit={code} wall={dt:.0f}s")
+        if err and code != 0:
+            log("stderr tail: " + err.strip()[-2000:])
+        for line in out.strip().splitlines():
+            try:
+                parsed = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+        results[tag] = {"parsed": parsed, "exit": code, "wall_s": round(dt)}
+        SUMMARY.write_text(json.dumps(results, indent=1))
+        if code == 0:
+            break
+    return parsed
 
 
 def main():
