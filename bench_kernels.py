@@ -68,6 +68,11 @@ def build(kernel: str, cfg):
             def f(xr, xi):
                 x = xr + 1j * xi
                 return jnp.sum(fast_sync.sync_corr_abs_fast(cfg, x, n_trials))
+        elif kernel == "sync_ifft":   # spectra + one IFFT per trial (default)
+            def f(xr, xi):
+                x = xr + 1j * xi
+                s = sync.sync_spectra(cfg, x, n_trials)
+                return jnp.sum(sync.corr_abs_from_spectra(cfg, s, "ifft"))
         else:  # sync_exact — batched-FFT spectra + matmul
             def f(xr, xi):
                 x = xr + 1j * xi

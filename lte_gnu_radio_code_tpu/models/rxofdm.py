@@ -39,20 +39,33 @@ def rx_frame(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
              genie_h=None, perfect_chan_est: bool = False) -> RxResult:
     """Demodulate a buffer of samples.  n_trials/num_patterns are static.
 
-    ``fast`` selects the conv-bank sync search (ops/fast_sync.py) — the
-    same math as one fused correlation, ~10x cheaper than per-trial FFTs;
-    the channel-estimation spectrum is still computed exactly at the lock
-    trial.  Defaults to on whenever the config's bin plan allows it.
-    ``fast="pallas"`` runs the search through the fused Pallas kernel
-    (pallas_kernels/sync_search.py) instead of the XLA conv bank.
+    ``fast`` selects the sync-search delay-correlation implementation:
+      * None (default) -> "ifft": batched trial FFTs + ONE inverse FFT per
+        trial covering all cp+1 delay hypotheses (sync_correlate_ifft — the
+        cheapest form at every scale, ~35x fewer FLOPs than the dense forms
+        at LTE numerology; works for any bin plan).
+      * True / "conv" -> the conv-bank formulation (ops/fast_sync.py): the
+        whole search as one strided real convolution on the MXU (requires
+        the canonical all-but-DC/Nyquist bin plan).
+      * "pallas" -> the fused Pallas kernel (pallas_kernels/sync_search.py).
+      * False -> the dense [p, L] x [L, cp+1] einsum (the literal del_mat
+        shape of synch_and_chan_est.py:164-165).
+    The channel-estimation spectrum is always the exact power-normalised
+    lock-trial spectrum (reused for ifft/exact, recomputed for conv/pallas).
 
     ``perfect_chan_est`` substitutes the true channel's frequency response
     (``genie_h`` CIR) on the synch bins for the estimate — the genie/oracle
     isolation mode of TEST/GNU_RADIO_OFFLINE/synch_and_chan_est.py:213-215.
     """
     if fast is None:
-        fast = cfg.num_synch_bins == cfg.nfft - 2
-    if fast:
+        fast = "ifft"
+    if fast in ("ifft", False):
+        spectra = sync.sync_spectra(cfg, x, n_trials)
+        corr = sync.corr_abs_from_spectra(cfg, spectra, fast)
+        ptr, delay_idx, peak, found, first = sync.first_lock(cfg, corr)
+        _, chan_full, cir = sync.estimate_channel(cfg, spectra[first],
+                                                  delay_idx)
+    else:
         if fast == "pallas":
             from ..pallas_kernels import sync_search
             corr = sync_search.sync_corr_abs(
@@ -63,12 +76,6 @@ def rx_frame(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
         ptr, delay_idx, peak, found, first = sync.first_lock(cfg, corr)
         spec1 = sync.sync_spectrum_at(cfg, x, first)
         _, chan_full, cir = sync.estimate_channel(cfg, spec1, delay_idx)
-    else:
-        spectra = sync.sync_spectra(cfg, x, n_trials)
-        corr = jnp.abs(sync.sync_correlate(cfg, spectra))
-        ptr, delay_idx, peak, found, first = sync.first_lock(cfg, corr)
-        _, chan_full, cir = sync.estimate_channel(cfg, spectra[first],
-                                                  delay_idx)
     if perfect_chan_est and genie_h is not None:
         import numpy as _np
 

@@ -32,12 +32,8 @@ class SynchIndexResult(NamedTuple):
 def find_synch_index(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
                      max_det: int = 100) -> SynchIndexResult:
     """Stage A only: dense search + multi-detection table (R8)."""
-    if cfg.num_synch_bins == cfg.nfft - 2:
-        from ..ops import fast_sync
-        corr = fast_sync.sync_corr_abs_fast(cfg, x, n_trials)
-    else:
-        corr = jnp.abs(sync.sync_correlate(cfg, sync.sync_spectra(
-            cfg, x, n_trials)))
+    corr = sync.corr_abs_from_spectra(
+        cfg, sync.sync_spectra(cfg, x, n_trials), "ifft")
     dmax_val = jnp.max(corr, axis=-1)
     dmax_ind = jnp.argmax(corr, axis=-1)
     ptrs, (delays, peaks), count = sync.refractory_detect(

@@ -80,19 +80,20 @@ def hard_decide(cfg: OFDMConfig, phasors: jnp.ndarray) -> jnp.ndarray:
 def detect_trials(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
                   fast: bool | Literal["pallas"] | None = None):
     """Per-trial (peak, delay) over the dense sync search.  Returns
-    (dmax_val [p] f32, dmax_ind [p] i32)."""
+    (dmax_val [p] f32, dmax_ind [p] i32).  fast: see rx_frame — None
+    defaults to the "ifft" correlate (one inverse FFT per trial)."""
     if fast is None:
-        fast = cfg.num_synch_bins == cfg.nfft - 2
+        fast = "ifft"
     if fast == "pallas":
         from ..pallas_kernels import sync_search
         corr = sync_search.sync_corr_abs(
             cfg, x, n_trials, interpret=jax.default_backend() != "tpu")
-    elif fast:
+    elif fast in ("ifft", False):
+        spectra = sync.sync_spectra(cfg, x, n_trials)
+        corr = sync.corr_abs_from_spectra(cfg, spectra, fast)
+    else:
         from ..ops import fast_sync
         corr = fast_sync.sync_corr_abs_fast(cfg, x, n_trials)
-    else:
-        spectra = sync.sync_spectra(cfg, x, n_trials)
-        corr = jnp.abs(sync.sync_correlate(cfg, spectra))
     return jnp.max(corr, axis=-1), jnp.argmax(corr, axis=-1).astype(jnp.int32)
 
 

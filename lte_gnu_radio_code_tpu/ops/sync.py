@@ -92,6 +92,45 @@ def sync_correlate(cfg: OFDMConfig, spectra: jnp.ndarray) -> jnp.ndarray:
     return corr
 
 
+def sync_correlate_ifft(cfg: OFDMConfig, spectra: jnp.ndarray) -> jnp.ndarray:
+    """The delay-hypothesis correlation via ONE inverse FFT per trial.
+
+    Algebraic restructuring of sync_correlate (the del_mat product,
+    synch_and_chan_est.py:164-165): with q[p, j] = sum_l S[p, l, j]*conj(ZC[l, j]),
+
+        corr[p, d] = sum_j e^{+j 2pi d b_j / N} q[p, j]
+                   = N * IFFT_N(scatter(q onto bins b_j))[d]
+
+    because the delay hypotheses d = 0..cp are INTEGER shifts — the whole
+    [L] x [L, cp+1] delay matmul collapses to a length-N inverse FFT whose
+    first cp+1 taps are the cp+1 hypotheses.  FLOPs per trial fall from
+    8*L*(cp+1) (2.1 MFLOP at NFFT 1024) to one N-point IFFT (~0.05 MFLOP) —
+    a ~35x cut at LTE scale, and the batched IFFT is exactly the shape the
+    TPU's FFT lowering wants.  The reference never exploits this structure
+    (it materialises the del_mat_exp matrix, synch_and_chan_est.py:78-79).
+
+    Identical math to sync_correlate to float32 tolerance (tested); works
+    for ANY bin plan (no Parseval condition — unlike the conv-bank path).
+    """
+    _, synch_bins = used_bins(cfg.nfft, cfg.num_synch_bins)
+    zc = jnp.asarray(zc_for_config(cfg))
+    prod = (spectra * jnp.conj(zc)[None, :]).reshape(
+        spectra.shape[0], cfg.m_synch, cfg.num_synch_bins)
+    q = jnp.sum(prod, axis=1)                               # [p, L]
+    y = jnp.zeros((spectra.shape[0], cfg.nfft), jnp.complex64
+                  ).at[:, np.asarray(synch_bins)].set(q)
+    return cfg.nfft * jnp.fft.ifft(y, axis=-1)[:, : cfg.cp_len + 1]
+
+
+def corr_abs_from_spectra(cfg: OFDMConfig, spectra: jnp.ndarray,
+                          method) -> jnp.ndarray:
+    """|corr| [p, cp+1] from trial spectra: 'ifft' (default) or the dense
+    einsum ('exact'/False)."""
+    if method == "ifft":
+        return jnp.abs(sync_correlate_ifft(cfg, spectra))
+    return jnp.abs(sync_correlate(cfg, spectra))
+
+
 def first_lock(cfg: OFDMConfig, corr_abs: jnp.ndarray):
     """First trial whose correlation peak crosses the gate (single lock).
 

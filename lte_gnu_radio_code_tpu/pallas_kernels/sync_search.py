@@ -100,24 +100,43 @@ def _kernel(tp, n_q, klen_ext, nfft, big_l,
     small normalisation weights are recomputed per column tile (m0-sized
     matmuls, negligible next to the correlation dot)."""
     row0 = pl.program_id(0) * tp
-    xr = jnp.concatenate(
-        [xr2_ref[pl.ds(row0 + q, tp), :] for q in range(n_q)],
-        axis=1)[:, :klen_ext]                           # Hankel [TP, klen~]
-    xi = jnp.concatenate(
-        [xi2_ref[pl.ds(row0 + q, tp), :] for q in range(n_q)],
-        axis=1)[:, :klen_ext]
+    # Mosaic needs ref-slice starts provably 8-aligned in the sublane dim:
+    # load ONE aligned superset of tp + n_q rows (row0 = i*tp, tp % 8 == 0).
+    # The Hankel matmul X0 @ K~ is then accumulated as n_q PARTIAL dots
+    #   sum_q xfull[q : q+tp] @ K~[q*se : (q+1)*se]
+    # (q is a Python int, so each slice is static; Mosaic relayouts the
+    # offset operands into the MXU, which its concatenate path cannot do —
+    # the weight rows are zero-padded to n_q*se so the tail q contributes 0).
+    tpe = tp + -(-n_q // 8) * 8
+    se = ktr_ref.shape[0] // n_q
+    xr_full = xr2_ref[pl.ds(row0, tpe), :]
+    xi_full = xi2_ref[pl.ds(row0, tpe), :]
     ktr, kti = ktr_ref[:], kti_ref[:]
-    cr = (jnp.dot(xr, ktr, preferred_element_type=jnp.float32) -
-          jnp.dot(xi, kti, preferred_element_type=jnp.float32))
-    ci = (jnp.dot(xr, kti, preferred_element_type=jnp.float32) +
-          jnp.dot(xi, ktr, preferred_element_type=jnp.float32))
     wdc, wny, we = wdc_ref[:], wny_ref[:], we_ref[:]
-    e = jnp.dot(xr * xr + xi * xi, we,
-                preferred_element_type=jnp.float32)     # [TP, G]
-    dcr = jnp.dot(xr, wdc, preferred_element_type=jnp.float32)
-    dci = jnp.dot(xi, wdc, preferred_element_type=jnp.float32)
-    nyr = jnp.dot(xr, wny, preferred_element_type=jnp.float32)
-    nyi = jnp.dot(xi, wny, preferred_element_type=jnp.float32)
+    ct = ktr.shape[1]
+    gm0 = wdc.shape[1]
+    cr = jnp.zeros((tp, ct), jnp.float32)
+    ci = jnp.zeros((tp, ct), jnp.float32)
+    e = jnp.zeros((tp, we.shape[1]), jnp.float32)
+    dcr = jnp.zeros((tp, gm0), jnp.float32)
+    dci = jnp.zeros((tp, gm0), jnp.float32)
+    nyr = jnp.zeros((tp, gm0), jnp.float32)
+    nyi = jnp.zeros((tp, gm0), jnp.float32)
+    for q in range(n_q):
+        xr_q = xr_full[q: q + tp, :]
+        xi_q = xi_full[q: q + tp, :]
+        kr_q, ki_q = ktr[q * se:(q + 1) * se], kti[q * se:(q + 1) * se]
+        cr += (jnp.dot(xr_q, kr_q, preferred_element_type=jnp.float32) -
+               jnp.dot(xi_q, ki_q, preferred_element_type=jnp.float32))
+        ci += (jnp.dot(xr_q, ki_q, preferred_element_type=jnp.float32) +
+               jnp.dot(xi_q, kr_q, preferred_element_type=jnp.float32))
+        e += jnp.dot(xr_q * xr_q + xi_q * xi_q, we[q * se:(q + 1) * se],
+                     preferred_element_type=jnp.float32)
+        wdc_q, wny_q = wdc[q * se:(q + 1) * se], wny[q * se:(q + 1) * se]
+        dcr += jnp.dot(xr_q, wdc_q, preferred_element_type=jnp.float32)
+        dci += jnp.dot(xi_q, wdc_q, preferred_element_type=jnp.float32)
+        nyr += jnp.dot(xr_q, wny_q, preferred_element_type=jnp.float32)
+        nyi += jnp.dot(xi_q, wny_q, preferred_element_type=jnp.float32)
     gsum = gsum_ref[:]
     dc2 = jnp.dot(dcr * dcr + dci * dci, gsum,
                   preferred_element_type=jnp.float32)   # [TP, G]
@@ -147,7 +166,8 @@ def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     n_rows = -(-n_trials // g)                          # trials per group
     tp = min(256, -(-n_rows // 8) * 8)
     n_tiles = -(-n_rows // tp)
-    rows = n_tiles * tp + n_q                           # x2 rows needed
+    # each tile loads an 8-aligned superset of tp + n_q rows (see _kernel)
+    rows = n_tiles * tp + -(-n_q // 8) * 8              # x2 rows needed
 
     # Column tiling of the correlation weights (VERDICT r2 #4): ktr/kti are
     # [klen_ext, G*(cp+1)] — 17 MB at dense-stride NFFT 1024, the round-2
@@ -168,6 +188,11 @@ def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     pad_c = ((0, 0), (0, gdp - gd))
     ktr, kti = np.pad(ktr, pad_c), np.pad(kti, pad_c)
     gexp = np.pad(gexp, pad_c)
+    # zero-pad the q-sliced weight ROWS to n_q*se so every per-q partial dot
+    # in _kernel sees a full [se, .] slab (tail contributions are zero)
+    pad_r = ((0, n_q * se - klen_ext), (0, 0))
+    ktr, kti = np.pad(ktr, pad_r), np.pad(kti, pad_r)
+    wdc, wny, we = np.pad(wdc, pad_r), np.pad(wny, pad_r), np.pad(we, pad_r)
 
     # Residual VMEM ceiling: x2 (the sample tile) is still full-resident —
     # rows*se*8 B, <= ~2 MiB for every shipped config/stride at frame scale
@@ -194,9 +219,9 @@ def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
         grid=(n_tiles, n_ctiles),
         out_shape=jax.ShapeDtypeStruct((n_tiles * tp, gdp), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 + [
-            pl.BlockSpec((klen_ext, ct), lambda i, j: (0, j),
+            pl.BlockSpec((n_q * se, ct), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),          # ktr tile
-            pl.BlockSpec((klen_ext, ct), lambda i, j: (0, j),
+            pl.BlockSpec((n_q * se, ct), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),          # kti tile
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
             pl.BlockSpec((g, ct), lambda i, j: (0, j),
