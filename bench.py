@@ -80,6 +80,35 @@ def emit_and_exit(payload: dict):
     os._exit(0)
 
 
+def timing_probe():
+    """Self-check that block_until_ready really awaits device completion.
+
+    A scan of 16 dependent 4096x4096 matmuls costs 2.2 TFLOP — >= 11 ms at
+    the v5e bf16 peak (197 TFLOP/s).  If the tunnel reports it complete in
+    ~RPC latency, wall-clock 'throughput' is a dispatch rate, not a compute
+    rate (observed 2026-08-21: implied 4000-31000 TFLOP/s).  Runs AFTER the
+    timed region (it is a second executable, which itself perturbs tunnel
+    dispatch).  Returns a dict for the bench JSON line."""
+    import jax.numpy as jnp
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4096, 4096)),
+                    jnp.bfloat16) * 0.01
+
+    @jax.jit
+    def f(x):
+        c, _ = jax.lax.scan(lambda c, _: (c @ x, ()), x, None, length=16)
+        return c.sum()
+
+    jax.block_until_ready(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        ts.append(time.perf_counter() - t0)
+    tflops = 16 * 2 * 4096 ** 3 / float(np.median(ts)) / 1e12
+    return {"implied_tflops": round(tflops, 1),
+            "trustworthy": bool(tflops < 250)}
+
+
 def bench_step(cfg, h, n_trials, num_patterns, bits, seed):
     """One frame end-to-end; returns only real scalars (transfer-safe)."""
     key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
@@ -137,6 +166,11 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         rep_msps.append(batch * n_samples / dt / 1e6)
 
+    # The timing-integrity probe runs BEFORE the D2H verification attempt:
+    # a hung D2H poisons the tunnel connection, so any RPC issued after it
+    # (e.g. the probe's compile) would hang the process forever.
+    probe = timing_probe()
+
     # correctness (host numpy only — after the timed region).  D2H can hang
     # on a degraded tunnel; verify through the guard and report the outcome
     # rather than hanging the bench (the same program is pinned bit-exact by
@@ -163,6 +197,7 @@ def main():
         "spread_pct": round(spread, 1),
         "rep_msps": [round(v, 1) for v in rep_msps],
         "verify": verify,
+        "timing_probe": probe,
     })
 
 
