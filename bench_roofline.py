@@ -74,22 +74,26 @@ def main():
     sol_mem = HBM_BW / bps / 1e6 if bps else float("inf")
     sol_f32 = PEAK_F32 / fps / 1e6 if fps else float("inf")
     sol_bf16 = PEAK_BF16 / fps / 1e6 if fps else float("inf")
-    binding = min(sol_mem, sol_f32)
     out = {
         "metric": f"roofline, full chain, {args.config} (batch {args.batch})",
         "flops_per_sample": round(fps, 1),
-        "bytes_per_sample": round(bps, 1),
-        "arith_intensity_flop_per_byte": round(fps / bps, 2) if bps else None,
-        "sol_memory_msps": round(sol_mem, 1),
+        "bytes_per_sample_prefusion": round(bps, 1),
+        # cost-model bytes count every intermediate as HBM traffic (XLA
+        # fuses most of them into VMEM/registers), so the memory bound is a
+        # gross under-estimate — reported for reproducibility, NOT binding.
+        "sol_memory_msps_prefusion_lower_bound": round(sol_mem, 1),
         "sol_compute_f32_msps": round(sol_f32, 1),
         "sol_compute_bf16_msps": round(sol_bf16, 1),
-        "binding_bound": "memory" if sol_mem < sol_f32 else "compute(f32)",
-        "binding_sol_msps": round(binding, 1),
         "backend": jax.default_backend(),
     }
     if args.measured:
         out["measured_msps"] = args.measured
-        out["fraction_of_sol"] = round(args.measured / binding, 3)
+        # fraction vs the bf16 compute bound — the honest per-dispatch
+        # ceiling on v5e (f32 matmuls/convs lower to bf16-multiply,
+        # f32-accumulate at DEFAULT precision); >1.0 means the measurement
+        # is a dispatch rate, not a compute rate (BASELINE.md integrity)
+        out["fraction_of_bf16_compute_sol"] = round(args.measured / sol_bf16, 3)
+        out["consistent"] = bool(args.measured <= sol_bf16 * 1.1)
     print(json.dumps(out))
 
 

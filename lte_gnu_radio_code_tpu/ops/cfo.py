@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..utils.params import OFDMConfig, used_bins
-from .zadoff_chu import delay_search_matrix, zadoff_chu, zc_for_config
+from .sync import sync_correlate_ifft
+from .zadoff_chu import zadoff_chu
 
 
 def cfo_bank(cfg: OFDMConfig, fo_range) -> np.ndarray:
@@ -55,8 +56,6 @@ def cfo_search_scan(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
         np.arange(cfg.nfft)[None, :]
     idx = starts[:, None, None] + offs[None, :, :]
     win = x[idx]                                            # [p, m, nfft]
-    zc = jnp.asarray(zc_for_config(cfg))
-    dse = jnp.asarray(delay_search_matrix(cfg))             # [D, L]
 
     def body(carry, fo_row):
         best_val, best_delay, best_fo, k = carry
@@ -65,8 +64,9 @@ def cfo_search_scan(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
         s = f[..., synch_bins].reshape(n_trials, -1)        # [p, L]
         power = jnp.sum(jnp.abs(s) ** 2, axis=-1, keepdims=True)
         s = s * jnp.sqrt(s.shape[-1] / jnp.maximum(power, 1e-30))
-        corr = jnp.abs(jnp.einsum("pl,dl->pd", s * jnp.conj(zc)[None, :],
-                                  dse, precision=lax.Precision.HIGHEST))
+        # delay axis via one inverse FFT per trial (sync_correlate_ifft
+        # derivation) — ~10x fewer FLOPs than the [L]x[L,D] einsum per fo
+        corr = jnp.abs(sync_correlate_ifft(cfg, s))
         val = jnp.max(corr, axis=-1)
         dly = jnp.argmax(corr, axis=-1).astype(jnp.int32)
         upd = val > best_val                                # first fo wins ties
@@ -121,15 +121,14 @@ def sync_spectra_cfo(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
 
 
 def sync_correlate_cfo(cfg: OFDMConfig, spectra: jnp.ndarray) -> jnp.ndarray:
-    """|del_mat| over the full (trial, fo, delay) search cube.
+    """del_mat over the full (trial, fo, delay) search cube.
 
-    spectra [p, F, L] -> corr [p, F, cp+1]; one batched complex matmul.
+    spectra [p, F, L] -> corr [p, F, cp+1]; the delay axis collapses to one
+    inverse FFT per (trial, fo) pair (see sync.sync_correlate_ifft).
     """
-    zc = jnp.asarray(zc_for_config(cfg))
-    dse = jnp.asarray(delay_search_matrix(cfg))             # [cp+1, L]
-    prod = spectra * jnp.conj(zc)[None, None, :]
-    return jnp.einsum("pfl,dl->pfd", prod, dse,
-                      precision=lax.Precision.HIGHEST)
+    p, f, _ = spectra.shape
+    flat = sync_correlate_ifft(cfg, spectra.reshape(p * f, -1))
+    return flat.reshape(p, f, -1)
 
 
 def dsss_despread(phasors: jnp.ndarray, dsss: int) -> jnp.ndarray:

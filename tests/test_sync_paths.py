@@ -60,6 +60,28 @@ def test_ifft_matches_conv_bank(cfg):
     np.testing.assert_allclose(via_ifft, conv, atol=2e-4 * scale)
 
 
+def test_cfo_scan_matches_materialised_cube():
+    """The memory-bounded fo-axis scan (cfo_search_scan) must pick the same
+    (peak, delay, fo) winners as the materialised (trial, fo, delay) cube
+    (sync_spectra_cfo + sync_correlate_cfo) — both now on the IFFT delay
+    axis.  Covers SynchEstAndFO.py:250-278 semantics."""
+    from lte_gnu_radio_code_tpu.ops import cfo as C
+    from lte_gnu_radio_code_tpu.utils.params import CFO_CASES, config_from_case
+
+    cfg = config_from_case(CFO_CASES, 1)
+    x = _buf(cfg, seed=5)
+    n_trials = sync.n_trials_for(cfg, x.shape[0])
+    bank = C.cfo_bank(cfg, (-200.0, 0.0, 200.0))
+    val_s, dly_s, fo_s = C.cfo_search_scan(cfg, x, n_trials, bank)
+    cube = np.abs(np.asarray(C.sync_correlate_cfo(
+        cfg, C.sync_spectra_cfo(cfg, x, n_trials, bank))))   # [p, F, D]
+    flat = cube.reshape(cube.shape[0], -1)
+    np.testing.assert_allclose(np.asarray(val_s), flat.max(-1), rtol=2e-5)
+    win = flat.argmax(-1)
+    np.testing.assert_array_equal(np.asarray(fo_s), win // cube.shape[2])
+    np.testing.assert_array_equal(np.asarray(dly_s), win % cube.shape[2])
+
+
 @pytest.mark.parametrize("fast", ["ifft", "conv", False])
 def test_rx_frame_identical_decisions_across_paths(fast):
     """All paths must produce the same lock, delay and hard bits end-to-end
