@@ -125,9 +125,16 @@ def sync_correlate_ifft(cfg: OFDMConfig, spectra: jnp.ndarray) -> jnp.ndarray:
 def corr_abs_from_spectra(cfg: OFDMConfig, spectra: jnp.ndarray,
                           method) -> jnp.ndarray:
     """|corr| [p, cp+1] from trial spectra: 'ifft' (default) or the dense
-    einsum ('exact'/False)."""
+    einsum ('exact'/False).  Other sync-path selectors ('conv'/'pallas'/True)
+    do not go through spectra and must be rejected here, not silently mapped
+    to the dense form (advisor r3)."""
     if method == "ifft":
         return jnp.abs(sync_correlate_ifft(cfg, spectra))
+    if method not in ("exact", False):
+        raise ValueError(
+            f"corr_abs_from_spectra: unknown method {method!r}; expected "
+            "'ifft', 'exact' or False (the conv/pallas paths do not use "
+            "trial spectra)")
     return jnp.abs(sync_correlate(cfg, spectra))
 
 

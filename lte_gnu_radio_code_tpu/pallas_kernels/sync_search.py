@@ -197,12 +197,19 @@ def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     # Residual VMEM ceiling: x2 (the sample tile) is still full-resident —
     # rows*se*8 B, <= ~2 MiB for every shipped config/stride at frame scale
     # (the weights were the LTE-scale OOM, now blocked).  Guard the truly
-    # pathological shapes (very long buffers) with a clear error.
-    # (the 2*tp*klen_ext term is the in-kernel Hankel scratch xr/xi — the
-    # dominant un-tiled buffer, same order as the weight slabs)
-    need_vmem = 4 * (2 * klen_ext * ct + 2 * rows * se + 2 * tp * ct +
-                     2 * tp * klen_ext +
-                     2 * klen_ext * g * (m0 := cfg.m_synch) + klen_ext * g)
+    # pathological shapes (very long buffers) with a clear error.  Budget
+    # matches the CURRENT kernel shape (advisor r3: the old budget still
+    # counted the removed 2*tp*klen_ext Hankel-concat scratch and sized the
+    # ktr/kti slabs at klen_ext rows though their BlockSpec is n_q*se rows):
+    # ktr/kti column slabs + wdc/wny/we (full, n_q*se rows) + planar x2 +
+    # the per-tile 8-aligned row-superset loads + out/cr/ci tiles + the
+    # dc/ny/e accumulators.
+    m0 = cfg.m_synch
+    n_qr = n_q * se                     # padded weight-slab row count
+    tpe = tp + -(-n_q // 8) * 8        # per-tile row superset (see _kernel)
+    need_vmem = 4 * (2 * n_qr * ct + 2 * n_qr * g * m0 + n_qr * g +
+                     2 * rows * se + 2 * tpe * se +
+                     3 * tp * ct + tp * (4 * g * m0 + g))
     if need_vmem > 12 * 2 ** 20:
         raise ValueError(
             f"sync_corr_abs: kernel working set ~{need_vmem / 2**20:.1f} MiB "
