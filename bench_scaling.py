@@ -37,11 +37,159 @@ def _parse():
                    help="force N virtual CPU devices (for hosts without "
                         "multi-chip hardware)")
     p.add_argument("--seconds", type=float, default=3.0)
+    p.add_argument("--processes", type=int, default=0,
+                   help="multi-process (DCN/Gloo) mode: spawn N processes, "
+                        "each with --virtual local CPU devices, build the "
+                        "dp-across-hosts mesh and time the sharded chain. "
+                        "Validates the multi-host harness pathway end-to-end "
+                        "(VERDICT r3 #7); on CPU this is a harness/correctness "
+                        "check, NOT a perf claim.")
     return p.parse_args()
+
+
+def _multiprocess_driver(args):
+    """Spawn N copies of this script as jax.distributed workers and relay
+    their output.  The workers share one coordinator (127.0.0.1:free-port),
+    exactly the jax.distributed.initialize pathway real multi-host TPU pods
+    use (with Gloo/TCP standing in for DCN on CPU)."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    nproc = args.processes
+    local = args.virtual or 2
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.update({
+            "BENCH_SCALING_WORKER": "1",
+            "JAX_PLATFORMS": "cpu",
+            "JAX_COORDINATOR_ADDRESS": coord,
+            "JAX_NUM_PROCESSES": str(nproc),
+            "JAX_PROCESS_ID": str(pid),
+            "XLA_FLAGS": " ".join(
+                [f for f in env.get("XLA_FLAGS", "").split()
+                 if "host_platform_device_count" not in f]
+                + [f"--xla_force_host_platform_device_count={local}"]),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--config", args.config, "--symbols", str(args.symbols),
+             "--seconds", str(args.seconds), "--virtual", str(local),
+             "--processes", str(nproc)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    rc = 0
+    for pid, pr in enumerate(procs):
+        out, _ = pr.communicate(timeout=900)
+        rc |= pr.returncode
+        for line in out.splitlines():
+            if line.startswith("{") or "MULTIHOST" in line:
+                print(line)
+    if rc:
+        print(json.dumps({"metric": "multi-process scaling harness",
+                          "error": f"worker exit status {rc}"}))
+        sys.exit(1)
+
+
+def _worker(args):
+    """One jax.distributed process of the multi-process run: dp (frames)
+    across processes, t (time-sharding) across each process's local devices
+    — the exact mesh layout real multi-host hardware would use (DCN carries
+    only the dp axis; the halo ppermute stays within a process)."""
+    import time as _time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+    from lte_gnu_radio_code_tpu.parallel import chain as pchain
+    from lte_gnu_radio_code_tpu.parallel import multihost
+    from lte_gnu_radio_code_tpu.parallel import sharded
+    from lte_gnu_radio_code_tpu.utils.params import (GOLDEN64, LTE1024,
+                                                     LTE2048, OFDMConfig)
+
+    multihost.init_distributed()
+    pid, nproc = jax.process_index(), jax.process_count()
+    mesh = multihost.multihost_mesh()          # dp = processes, t = local
+    t_shards = mesh.shape["t"]
+
+    base = {"loopback64": GOLDEN64, "lte1024": LTE1024,
+            "lte2048": LTE2048}[args.config]
+    pattern = base.pattern_len
+    nsym = max(pattern, (args.symbols // pattern) * pattern)
+    cfg = OFDMConfig(**{**base.__dict__, "num_ofdm_symb": nsym}).validate()
+    while cfg.frame_len // t_shards < sharded.halo_size(cfg):
+        cfg = OFDMConfig(**{**cfg.__dict__,
+                            "num_ofdm_symb": cfg.num_ofdm_symb * 2}).validate()
+
+    step = pchain.make_sharded_chain(cfg, mesh)
+    b = 2 * nproc
+    rng = np.random.default_rng(0)             # same seed on every process
+    bits_global = rng.integers(0, 2, (b, cfg.num_bits)).astype(np.int32)
+    seeds_global = np.arange(b, dtype=np.int32)
+
+    def shard_arr(arr, spec):
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+
+    bits = shard_arr(bits_global, P("dp", None))
+    seeds = shard_arr(seeds_global, P("dp"))
+
+    ber, found, lock = jax.block_until_ready(step(bits, seeds))
+    ber_l = np.asarray([np.asarray(s.data)
+                        for s in ber.addressable_shards]).ravel()
+    found_l = np.asarray([np.asarray(s.data)
+                          for s in found.addressable_shards]).ravel()
+    assert found_l.all(), f"proc {pid}: sync lock failed"
+    assert (ber_l == 0).all(), f"proc {pid}: nonzero BER {ber_l}"
+
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("warm")
+    iters, t0 = 0, _time.perf_counter()
+    while _time.perf_counter() - t0 < args.seconds or iters < 3:
+        jax.block_until_ready(step(bits, seeds))
+        iters += 1
+    dt = (_time.perf_counter() - t0) / iters
+    multihost_utils.sync_global_devices("timed")
+
+    n_samples = cfg.frame_len + cfg.nfft - 1
+    if pid == 0:
+        print(json.dumps({
+            "metric": f"multi-process sharded chain, {args.config} "
+                      f"({cfg.num_ofdm_symb} symbols), "
+                      f"{nproc} processes x {t_shards} local devices "
+                      f"(dp across processes via jax.distributed/Gloo)",
+            "value": round(b * n_samples / dt / 1e6, 2),
+            "unit": "Msamples/s (all processes)",
+            "sec_per_step": round(dt, 4),
+            "frames_per_step": b,
+            "verify": "ok: all locks found, BER 0 on every process",
+            "note": "CPU multi-controller run — validates the DCN harness "
+                    "pathway + correctness; NOT a hardware perf claim",
+        }), flush=True)
+    print(f"MULTIHOST_BENCH_OK pid={pid} procs={nproc} "
+          f"mesh=dp{mesh.shape['dp']}xt{t_shards}", flush=True)
 
 
 def main():
     args = _parse()
+    if args.processes and not os.environ.get("BENCH_SCALING_WORKER"):
+        return _multiprocess_driver(args)
+    if os.environ.get("BENCH_SCALING_WORKER"):
+        if args.virtual:
+            os.environ["JAX_PLATFORMS"] = "cpu"
+        return _worker(args)
     if args.virtual:
         os.environ["JAX_PLATFORMS"] = "cpu"
         flags = [f for f in os.environ.get("XLA_FLAGS", "").split()

@@ -21,7 +21,8 @@ def _grid(cfg, seed=0):
         cfg, pts.reshape(cfg.num_data_symb, cfg.num_data_bins))
 
 
-@pytest.mark.parametrize("nfft,cp", [(64, 16), (256, 64)])
+@pytest.mark.parametrize("nfft,cp", [(64, 16), (256, 64),
+                                      (1024, 256), (2048, 512)])
 def test_pallas_modulate_matches_xla(nfft, cp):
     cfg = OFDMConfig(nfft=nfft, cp_len=cp, num_ofdm_symb=16,
                      num_data_bins=nfft - 4, num_synch_bins=nfft - 2
