@@ -52,8 +52,8 @@ from lte_gnu_radio_code_tpu.ops import channel as chan_ops
 from lte_gnu_radio_code_tpu.ops import modulation, sync
 from lte_gnu_radio_code_tpu.utils.params import GOLDEN64
 
-STAGES = ["awgn", "tx", "chan", "sync", "spectra", "corr", "lock", "eq",
-          "llr", "chain", "fft", "matmul"]
+STAGES = ["awgn", "tx", "txmap", "txgrid", "txifft", "chan", "sync",
+          "spectra", "corr", "lock", "eq", "llr", "chain", "fft", "matmul"]
 
 
 def get_cfg(which):
@@ -150,6 +150,44 @@ def build(stage, which, batch, r_iters):
                 jnp.bitwise_xor(bits, i & 1))
             return jnp.sum(jnp.abs(t[:, ::1024]))
         return scan_over(body, None), batch * n_samples, "TX modulate only"
+
+    if stage == "txmap":
+        def body(i):
+            pts = jax.vmap(lambda b: modulation.bits_to_symbols(
+                b, cfg.modulation))(jnp.bitwise_xor(bits, i & 1))
+            return jnp.sum(jnp.abs(pts[:, ::997]))
+        return scan_over(body, None), batch * n_samples, \
+            "TX bits_to_symbols only"
+
+    if stage == "txgrid":
+        from lte_gnu_radio_code_tpu.ops import ofdm as ofdm_ops
+        pts0 = np.stack([
+            np.asarray(modulation.bits_to_symbols(bits_h[i], cfg.modulation))
+            for i in range(batch)]).reshape(
+                batch, cfg.num_data_symb, cfg.num_data_only_bins)
+
+        def body(i):
+            g = jax.vmap(lambda p: ofdm_ops.resource_grid(
+                cfg, p * (1.0 + 0.0 * i)))(pts0)
+            return jnp.sum(jnp.abs(g[:, ::7, 0]))
+        return scan_over(body, None), batch * n_samples, \
+            "TX resource_grid scatter only"
+
+    if stage == "txifft":
+        from lte_gnu_radio_code_tpu.ops import ofdm as ofdm_ops
+        grid0 = np.stack([
+            np.asarray(ofdm_ops.resource_grid(
+                cfg, modulation.bits_to_symbols(
+                    bits_h[i], cfg.modulation).reshape(
+                        cfg.num_data_symb, cfg.num_data_only_bins)))
+            for i in range(batch)])
+
+        def body(i):
+            t = jax.vmap(lambda g: ofdm_ops.modulate(
+                cfg, g * (1.0 + 0.0 * i)))(grid0)
+            return jnp.sum(jnp.abs(t[:, ::1024]))
+        return scan_over(body, None), batch * n_samples, \
+            "TX ifft+cp+norm only"
 
     if stage == "chan":
         tx0 = np.stack([G.tx_frame(cfg, bits_h[i])
