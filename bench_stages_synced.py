@@ -53,7 +53,8 @@ from lte_gnu_radio_code_tpu.ops import modulation, sync
 from lte_gnu_radio_code_tpu.utils.params import GOLDEN64
 
 STAGES = ["awgn", "tx", "txmap", "txgrid", "txifft", "chan", "sync",
-          "spectra", "corr", "lock", "eq", "llr", "chain", "fft", "matmul"]
+          "spectra", "corr", "lock", "eq", "llr", "chain", "syncconv",
+          "syncpallas", "txpallas", "fft", "matmul"]
 
 
 def get_cfg(which):
@@ -141,21 +142,21 @@ def build(stage, which, batch, r_iters):
             keys = jax.random.split(key, batch)
             z = jax.vmap(lambda k: chan_ops.awgn(
                 cfg, jnp.zeros(n_samples, jnp.complex64), k, 1.0))(keys)
-            return jnp.sum(jnp.abs(z[:, ::1024]))
+            return jnp.sum(z.real) + jnp.sum(z.imag)
         return scan_over(body, None), batch * n_samples, "PRNG+AWGN only"
 
     if stage == "tx":
         def body(i):
             t = jax.vmap(lambda b: txofdm.tx_frame(cfg, b))(
                 jnp.bitwise_xor(bits, i & 1))
-            return jnp.sum(jnp.abs(t[:, ::1024]))
+            return jnp.sum(t.real) + jnp.sum(t.imag)
         return scan_over(body, None), batch * n_samples, "TX modulate only"
 
     if stage == "txmap":
         def body(i):
             pts = jax.vmap(lambda b: modulation.bits_to_symbols(
                 b, cfg.modulation))(jnp.bitwise_xor(bits, i & 1))
-            return jnp.sum(jnp.abs(pts[:, ::997]))
+            return jnp.sum(pts.real) + jnp.sum(pts.imag)
         return scan_over(body, None), batch * n_samples, \
             "TX bits_to_symbols only"
 
@@ -169,7 +170,7 @@ def build(stage, which, batch, r_iters):
         def body(i):
             g = jax.vmap(lambda p: ofdm_ops.resource_grid(
                 cfg, p * (1.0 + 0.0 * i)))(pts0)
-            return jnp.sum(jnp.abs(g[:, ::7, 0]))
+            return jnp.sum(g.real) + jnp.sum(g.imag)
         return scan_over(body, None), batch * n_samples, \
             "TX resource_grid scatter only"
 
@@ -185,7 +186,7 @@ def build(stage, which, batch, r_iters):
         def body(i):
             t = jax.vmap(lambda g: ofdm_ops.modulate(
                 cfg, g * (1.0 + 0.0 * i)))(grid0)
-            return jnp.sum(jnp.abs(t[:, ::1024]))
+            return jnp.sum(t.real) + jnp.sum(t.imag)
         return scan_over(body, None), batch * n_samples, \
             "TX ifft+cp+norm only"
 
@@ -196,7 +197,7 @@ def build(stage, which, batch, r_iters):
         def body(i):
             y = jax.vmap(lambda s: chan_ops.apply_channel(
                 s * (1.0 + 0.0 * i), h, max_impulse=cfg.nfft))(tx0)
-            return jnp.sum(jnp.abs(y[:, ::1024]))
+            return jnp.sum(y.real) + jnp.sum(y.imag)
         return scan_over(body, None), batch * n_samples, "channel conv only"
 
     rx = rx_h                           # numpy constant, traced in
@@ -205,7 +206,7 @@ def build(stage, which, batch, r_iters):
         def body(i):
             s = jax.vmap(lambda x: sync.sync_spectra(
                 cfg, x * (1.0 + 0.0 * i), n_trials))(rx)
-            return jnp.sum(jnp.abs(s[:, ::7, 0]))
+            return jnp.sum(s.real) + jnp.sum(s.imag)
         return scan_over(body, None), batch * n_samples, \
             "sync_spectra (trial gather + batched FFT + norm)"
 
@@ -215,7 +216,7 @@ def build(stage, which, batch, r_iters):
         def body(i):
             c = jax.vmap(lambda s: sync.sync_correlate_ifft(
                 cfg, s * (1.0 + 0.0 * i)))(s0)
-            return jnp.sum(jnp.abs(c[:, ::7, 0]))
+            return jnp.sum(c.real) + jnp.sum(c.imag)
         return scan_over(body, None), batch * n_samples, \
             "IFFT delay correlation only"
 
@@ -251,7 +252,7 @@ def build(stage, which, batch, r_iters):
                 _, chan_full, _ = sync.estimate_channel(cfg, s[first], didx)
                 ph = sync.equalize_data_symbols(cfg, x, ptr, didx, chan_full,
                                                 num_patterns)
-                return jnp.sum(jnp.abs(ph[::7, 0]))
+                return jnp.sum(ph.real) + jnp.sum(ph.imag)
             return jnp.sum(jax.vmap(one)(rx * (1.0 + 0.0 * i)))
         return scan_over(body, None), batch * n_samples, \
             "sync + equalize_data_symbols"
@@ -265,9 +266,49 @@ def build(stage, which, batch, r_iters):
         def body(i):
             hard, l0, l1 = jax.vmap(modulation.qpsk_llr)(
                 ph0 * (1.0 + 0.0 * i))
-            return jnp.sum(l0[:, ::97]) + jnp.sum(hard[:, 0].astype(
-                jnp.float32))
+            return (jnp.sum(l0) + jnp.sum(l1) +
+                    jnp.sum(hard.astype(jnp.float32)))
         return scan_over(body, None), batch * n_samples, "qpsk_llr only"
+
+    if stage == "syncconv":
+        from lte_gnu_radio_code_tpu.ops import fast_sync
+
+        def body(i):
+            c = fast_sync.sync_corr_abs_fast(
+                cfg, rx * (1.0 + 0.0 * i), n_trials)
+            return jnp.sum(c)
+        return scan_over(body, None), batch * n_samples, \
+            "conv-bank sync search (whole search, MXU strided conv)"
+
+    if stage == "syncpallas":
+        from lte_gnu_radio_code_tpu.pallas_kernels import sync_search
+
+        def body(i):
+            c = jax.vmap(lambda x: sync_search.sync_corr_abs(
+                cfg, x, n_trials,
+                interpret=jax.default_backend() != "tpu"))(
+                    rx * (1.0 + 0.0 * i))
+            return jnp.sum(c)
+        return scan_over(body, None), batch * n_samples, \
+            "Pallas fused sync search"
+
+    if stage == "txpallas":
+        from lte_gnu_radio_code_tpu.ops import ofdm as ofdm_ops
+        from lte_gnu_radio_code_tpu.pallas_kernels import ofdm_mod
+        grid0 = np.stack([
+            np.asarray(ofdm_ops.resource_grid(
+                cfg, modulation.bits_to_symbols(
+                    bits_h[i], cfg.modulation).reshape(
+                        cfg.num_data_symb, cfg.num_data_only_bins)))
+            for i in range(batch)])
+        interp = jax.default_backend() != "tpu"
+
+        def body(i):
+            t = jax.vmap(lambda g: ofdm_mod.modulate(
+                cfg, g * (1.0 + 0.0 * i), interpret=interp))(grid0)
+            return jnp.sum(t.real) + jnp.sum(t.imag)
+        return scan_over(body, None), batch * n_samples, \
+            "TX Pallas DFT-matmul modulate (ifft+cp+norm fused)"
 
     if stage == "fft":
         nfft = cfg.nfft
@@ -278,7 +319,7 @@ def build(stage, which, batch, r_iters):
 
         def body(i):
             f = jnp.fft.fft(x0 * (1.0 + 0.0 * i), nfft, axis=-1)
-            return jnp.sum(jnp.abs(f[::13, 0]))
+            return jnp.sum(f.real) + jnp.sum(f.imag)
         return scan_over(body, None), rows * nfft, \
             f"raw batched {nfft}-pt FFT [{rows}, {nfft}]"
 
@@ -286,11 +327,14 @@ def build(stage, which, batch, r_iters):
         a0 = (rng.standard_normal((4096, 4096)) * 0.01
               ).astype(jnp.bfloat16)
 
-        def body(i):
-            return (a0 @ a0)[0, 0].astype(jnp.float32) + 0.0 * i
-        # "samples" = matmul FLOPs / 1e3 so the Msps output is TFLOP/s
-        return scan_over(body, None), 2 * 4096 ** 3 // 1000, \
-            "bf16 4096^3 matmul calibration (value==GFLOP/s, /1e3=TFLOP/s)"
+        def f(_unused):
+            def step(c, _):
+                return (c @ a0).astype(jnp.bfloat16), ()
+            c, _ = lax.scan(step, jnp.asarray(a0), None, length=r_iters)
+            return jnp.sum(c.astype(jnp.float32)).reshape(1)
+        # "samples" = matmul FLOPs / 1e3 so the Msps output is GFLOP/s
+        return f, 2 * 4096 ** 3 // 1000, \
+            "bf16 4096^3 chained matmul calibration (value==GFLOP/s)"
 
     raise SystemExit(f"unknown stage {stage}")
 

@@ -119,10 +119,20 @@ def demod_detections(cfg: OFDMConfig, ext: jnp.ndarray, ptrs_rel: jnp.ndarray,
 
     safe_ptr = jnp.where(valid, ptrs_rel, 0)
 
+    # ONE contiguous dynamic slice per detection, then static windows into
+    # it: the previous ext[ptr + static_offsets] gathers had data-dependent
+    # indices (~25 ns/element on this backend — round-4 stage bench); edge
+    # padding replicates the old gather's per-element index clamp exactly
+    # (fully- and partially-out-of-range windows read ext[-1]).
+    seg_len = (m0 + nd - 1) * cfg.rx_b_len + nfft
+    xp = jnp.pad(ext, (0, seg_len), mode="edge")
+    segs = jax.vmap(
+        lambda p: jax.lax.dynamic_slice_in_dim(xp, p, seg_len, axis=0)
+    )(safe_ptr)                                             # [d, seg_len]
+
     # -- channel estimate at each detection's own synch spectrum -----------
     offs = (np.arange(m0) * cfg.rx_b_len)[:, None] + np.arange(nfft)[None, :]
-    sidx = safe_ptr[:, None, None] + jnp.asarray(offs)[None]  # [d, m, nfft]
-    sf = jnp.fft.fft(ext[sidx], nfft, axis=-1)
+    sf = jnp.fft.fft(segs[:, jnp.asarray(offs)], nfft, axis=-1)
     _, synch_bins = used_bins(nfft, cfg.num_synch_bins)
     s = sf[..., np.asarray(synch_bins)].reshape(max_det, -1)
     sp = jnp.sum(jnp.abs(s) ** 2, axis=-1, keepdims=True)
@@ -132,9 +142,9 @@ def demod_detections(cfg: OFDMConfig, ext: jnp.ndarray, ptrs_rel: jnp.ndarray,
     chans = chans * valid[:, None]
 
     # -- demod the nd data symbols of each detection's pattern block -------
-    dstart = safe_ptr[:, None] + (m0 + jnp.arange(nd))[None, :] * cfg.rx_b_len
-    didx = dstart[..., None] + jnp.arange(nfft)[None, None, :]
-    f = jnp.fft.fft(ext[didx], nfft, axis=-1)
+    doffs = ((m0 + np.arange(nd))[:, None] * cfg.rx_b_len +
+             np.arange(nfft)[None, :])                      # static [nd, nfft]
+    f = jnp.fft.fft(segs[:, jnp.asarray(doffs)], nfft, axis=-1)
     fd = f[..., data_bins]                                  # [d, nd, B]
     power = jnp.sum(jnp.abs(fd) ** 2, axis=-1, keepdims=True)
     fd = fd * jnp.sqrt(fd.shape[-1] / jnp.maximum(power, 1e-30))

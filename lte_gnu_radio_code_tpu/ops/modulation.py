@@ -45,9 +45,17 @@ def bits_to_symbols(bits: jnp.ndarray, modulation: str) -> jnp.ndarray:
     if modulation == "BPSK":
         return (2.0 * bits - 1.0).astype(jnp.complex64)
     if modulation == "QPSK":
-        b = bits.reshape(-1, 2)
-        dec = 2 * b[:, 0] + b[:, 1]
-        return jnp.asarray(QPSK_POINTS)[dec]
+        # arithmetic form of QPSK_POINTS[2*b0+b1]: the pi/8-offset
+        # constellation is (+-K, +-K) with K = cos(pi/4), re sign from the
+        # MSB, im sign from the LSB — bit-exact vs the float32 table (all
+        # four |components| round to the same float32), and free of the
+        # data-dependent gather, which this TPU backend executes at ~25
+        # ns/element (round-4 stage bench) — it was the TX hot spot.
+        b = bits.reshape(-1, 2).astype(jnp.float32)
+        k = jnp.float32(0.7071067811865476)
+        return jax.lax.complex((1.0 - 2.0 * b[:, 0]) * k,
+                               (1.0 - 2.0 * b[:, 1]) * k
+                               ).astype(jnp.complex64)
     if modulation in ("QAM16", "QAM64"):
         k = BITS_PER_SYMBOL[modulation] // 2
         pam = jnp.asarray(QAM16_PAM if modulation == "QAM16" else QAM64_PAM)
@@ -55,7 +63,15 @@ def bits_to_symbols(bits: jnp.ndarray, modulation: str) -> jnp.ndarray:
         w = 2 ** jnp.arange(k - 1, -1, -1)
         i_idx = (b[:, :k] * w).sum(-1)
         q_idx = (b[:, k:] * w).sum(-1)
-        return (pam[i_idx] + 1j * pam[q_idx]).astype(jnp.complex64)
+        # one-hot select instead of a dynamic gather (exact: 1.0*v + 0.0s)
+        m = pam.shape[0]
+        sel = jnp.arange(m)
+
+        def pick(idx):
+            return jnp.sum(jnp.where(idx[:, None] == sel[None, :],
+                                     pam[None, :], 0.0), axis=1)
+
+        return (pick(i_idx) + 1j * pick(q_idx)).astype(jnp.complex64)
     raise ValueError(modulation)
 
 
@@ -71,12 +87,17 @@ def qpsk_llr(phasors: jnp.ndarray):
     exactly as BitRecovery.py:105-157 lays them out.
     """
     d = phasors.reshape(-1)
-    pts = jnp.asarray(QPSK_POINTS)
-    z = d[:, None] - pts[None, :]
-    az = jnp.abs(z)
-    dmin_ind = jnp.argmin(az, axis=1)
-    dmin = jnp.min(az, axis=1)
-    ez = d - pts[dmin_ind]
+    # nearest constellation point by quadrant — the arithmetic form of
+    # argmin |d - QPSK_POINTS| (the points are (+-K, +-K), so the nearest
+    # one has each component's sign; sign(0) -> + matches argmin's
+    # first-index tie-break over the table order).  Removes the
+    # data-dependent pts[dmin_ind] gather, ~25 ns/element on this backend
+    # (round-4 stage bench: the demap was 12 ms of the 35 ms chain step).
+    k = jnp.float32(0.7071067811865476)
+    dz = jax.lax.complex(jnp.where(d.real >= 0, k, -k),
+                         jnp.where(d.imag >= 0, k, -k))
+    ez = d - dz
+    dmin = jnp.abs(ez)
 
     sigma = 0.7071067811865476 * jnp.mean(dmin)
     dfact = 1.0 / (sigma * sigma)
@@ -103,13 +124,12 @@ def qpsk_llr_pairswap(phasors: jnp.ndarray):
     Returns (hard_bits [2n] i32, llr0 [2n], llr1 [2n]).
     """
     d = phasors.reshape(-1)
-    pts = jnp.asarray(QPSK_POINTS)
-    z = d[:, None] - pts[None, :]
-    az = jnp.abs(z)
-    dmin_ind = jnp.argmin(az, axis=1)
-    dmin = jnp.min(az, axis=1)
-    dz = pts[dmin_ind]
+    # quadrant form of the nearest-point search (see qpsk_llr)
+    k = jnp.float32(0.7071067811865476)
+    dz = jax.lax.complex(jnp.where(d.real >= 0, k, -k),
+                         jnp.where(d.imag >= 0, k, -k))
     ez = d - dz
+    dmin = jnp.abs(ez)
 
     sigma0 = jnp.sqrt(0.5) * jnp.mean(dmin)
     dfact = 1.0 / (sigma0 * sigma0)

@@ -71,7 +71,12 @@ def sync_spectrum_at(cfg: OFDMConfig, x: jnp.ndarray, trial) -> jnp.ndarray:
     start = cfg.cp_len + cfg.stride * trial
     offs = (np.arange(cfg.m_synch) * cfg.rx_b_len)[:, None] + \
         np.arange(cfg.nfft)[None, :]
-    win = x[start + jnp.asarray(offs)]
+    # dynamic slice + static windows (not a data-dependent gather — see
+    # equalize_data_symbols for the backend gather-cost note)
+    span = (cfg.m_synch - 1) * cfg.rx_b_len + cfg.nfft
+    xp = jnp.pad(x, (0, span), mode="edge")
+    seg = lax.dynamic_slice_in_dim(xp, start, span, axis=0)
+    win = seg[jnp.asarray(offs - offs.min())]
     f = jnp.fft.fft(win, cfg.nfft, axis=-1)
     s = f[..., np.asarray(synch_bins)].reshape(-1)
     power = jnp.sum(jnp.abs(s) ** 2)
@@ -276,11 +281,21 @@ def equalize_data_symbols(cfg: OFDMConfig, x: jnp.ndarray, lock_ptr,
     m0, nd = cfg.m_synch, cfg.synch_dat[1]
     block = cfg.pattern_len * cfg.rx_b_len
 
-    k = jnp.arange(num_patterns)[:, None]                   # pattern index
-    j = jnp.arange(nd)[None, :]                             # data symbol in block
-    start = lock_ptr + k * block + (m0 + j) * cfg.rx_b_len  # [k, j]
-    idx = start[..., None] + jnp.arange(cfg.nfft)[None, None, :]
-    win = x[idx]                                            # [k, j, nfft]
+    # ONE contiguous dynamic slice at the (traced) lock pointer, then
+    # static-index windows into it.  The previous x[lock + static_offsets]
+    # gather had data-dependent indices, which this TPU backend executes at
+    # ~25 ns/element — it was ~56% of the whole chain step (round-4 stage
+    # bench); a dynamic_slice + static gather is layout-friendly and fast.
+    # Edge-padding replicates the old gather's index-clamp semantics for
+    # the (reference-matching) garbage tail block, bit-exactly.
+    span = ((num_patterns - 1) * block + (m0 + nd - 1) * cfg.rx_b_len +
+            cfg.nfft)
+    xp = jnp.pad(x, (0, span), mode="edge")
+    seg = lax.dynamic_slice_in_dim(xp, lock_ptr, span, axis=0)
+    rel = (np.arange(num_patterns)[:, None, None] * block +
+           (m0 + np.arange(nd))[None, :, None] * cfg.rx_b_len +
+           np.arange(cfg.nfft)[None, None, :])              # static [k, j, nfft]
+    win = seg[jnp.asarray(rel)]                             # [k, j, nfft]
     f = jnp.fft.fft(win, cfg.nfft, axis=-1)
     fd = f[..., data_bins]                                  # [k, j, B]
     power = jnp.sum(jnp.abs(fd) ** 2, axis=-1, keepdims=True)
