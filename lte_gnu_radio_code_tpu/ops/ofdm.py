@@ -36,6 +36,29 @@ def resource_grid(cfg: OFDMConfig, data_symbols: jnp.ndarray) -> jnp.ndarray:
     slice_idx = np.arange(len(synch_rows)) % cfg.m_synch
     zc_rows = zc.reshape(cfg.m_synch, seg)[slice_idx]       # [n_synch_rows, seg]
 
+    if cfg.pilot_grid == "none":
+        # Concat-based grid assembly (no scatter): used_bins places the
+        # first half of each value vector on the NEGATIVE (tail) bins and
+        # the second half on bins 1..h, so each row is
+        #   [0 | second half | zero gap | first half]
+        # and the full grid is a static row-permutation of the stacked
+        # synch/data rows.  Identical values to the scatter form; avoids
+        # the per-element scatter op on the TX hot path.
+        def rows_from_vals(vals, nb):
+            h = nb // 2
+            s = vals.shape[0]
+            zero1 = jnp.zeros((s, 1), jnp.complex64)
+            gap = jnp.zeros((s, cfg.nfft - 2 * h - 1), jnp.complex64)
+            v = vals.astype(jnp.complex64)
+            return jnp.concatenate([zero1, v[:, h:], gap, v[:, :h]], axis=-1)
+
+        srows = rows_from_vals(jnp.asarray(zc_rows), cfg.num_synch_bins)
+        drows = rows_from_vals(data_symbols, cfg.num_data_bins)
+        order = np.empty(cfg.num_ofdm_symb, np.int64)
+        order[synch_rows] = np.arange(len(synch_rows))
+        order[data_rows] = len(synch_rows) + np.arange(len(data_rows))
+        return jnp.concatenate([srows, drows], axis=0)[order]
+
     grid = jnp.zeros((cfg.num_ofdm_symb, cfg.nfft), dtype=jnp.complex64)
     grid = grid.at[np.ix_(synch_rows, np.asarray(synch_bins))].set(jnp.asarray(zc_rows))
     if cfg.pilot_grid != "none":
