@@ -70,8 +70,8 @@ def rx_frame_cfo(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     start = ptrs + cfg.m_synch * cfg.rx_b_len
     ok = valid & (start + cfg.nfft - 1 < x.shape[0])
     start = jnp.where(ok, start, 0)
-    idx = start[:, None] + jnp.arange(cfg.nfft)[None, :]
-    win = x[idx] * jnp.asarray(bank)[fo_sel.astype(jnp.int32)]
+    win = cfo_ops.windows_at(x, start, np.arange(cfg.nfft)) * \
+        cfo_ops.bank_select(bank, fo_sel.astype(jnp.int32))
     f = jnp.fft.fft(win, cfg.nfft, axis=-1)
     fd = f[:, data_bins]
     power = jnp.sum(jnp.abs(fd) ** 2, axis=-1, keepdims=True)

@@ -82,6 +82,27 @@ def cfo_search_scan(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     return best_val, best_delay, best_fo
 
 
+def bank_select(bank, fo_sel: jnp.ndarray) -> jnp.ndarray:
+    """bank[fo_sel] without a data-dependent gather (~25 ns/element on this
+    backend — round-4 stage bench): exact one-hot select over the tiny
+    candidate axis (1.0*v plus zeros is value-preserving)."""
+    b = jnp.asarray(bank)
+    oh = fo_sel[:, None] == jnp.arange(b.shape[0])[None, :]
+    return jnp.sum(jnp.where(oh[:, :, None], b[None, :, :], 0.0), axis=1)
+
+
+def windows_at(x: jnp.ndarray, ptrs: jnp.ndarray, offs) -> jnp.ndarray:
+    """x[ptrs[:, None, ...] + offs] via one contiguous dynamic slice per
+    pointer + static window indices (gather-free; edge padding replicates
+    the gather's per-element index clamp for out-of-range windows)."""
+    offs = np.asarray(offs)
+    span = int(offs.max()) + 1
+    xp = jnp.pad(x, (0, span), mode="edge")
+    segs = jax.vmap(
+        lambda p: jax.lax.dynamic_slice_in_dim(xp, p, span, axis=0))(ptrs)
+    return segs[:, jnp.asarray(offs)]
+
+
 def spectra_at_detections(cfg: OFDMConfig, x: jnp.ndarray, ptrs: jnp.ndarray,
                           fo_sel: jnp.ndarray, bank: np.ndarray) -> jnp.ndarray:
     """Re-derive the power-normalised synch spectra ONLY at the detections,
@@ -90,8 +111,7 @@ def spectra_at_detections(cfg: OFDMConfig, x: jnp.ndarray, ptrs: jnp.ndarray,
     _, synch_bins = used_bins(cfg.nfft, cfg.num_synch_bins)
     offs = (np.arange(cfg.m_synch) * cfg.rx_b_len)[:, None] + \
         np.arange(cfg.nfft)[None, :]
-    idx = ptrs[:, None, None] + jnp.asarray(offs)[None]     # [d, m, nfft]
-    win = x[idx] * jnp.asarray(bank)[fo_sel][:, None, :]
+    win = windows_at(x, ptrs, offs) * bank_select(bank, fo_sel)[:, None, :]
     f = jnp.fft.fft(win, cfg.nfft, axis=-1)
     s = f[..., np.asarray(synch_bins)].reshape(ptrs.shape[0], -1)
     power = jnp.sum(jnp.abs(s) ** 2, axis=-1, keepdims=True)

@@ -255,8 +255,8 @@ def _legacy_body(cfg: OFDMConfig, hist, x_local, base, real_end,
     data_bins = np.asarray(data_bins)
     ok_i = mine & (g_det + cfg.m_synch * cfg.rx_b_len + cfg.nfft <= real_end1)
     start = jnp.where(ok_i, ptr_rel + cfg.m_synch * cfg.rx_b_len, 0)
-    idx = start[:, None] + jnp.arange(cfg.nfft)[None, :]
-    win = ext_i[idx] * jnp.asarray(bank)[fo_sel]
+    win = cfo_ops.windows_at(ext_i, start, np.arange(cfg.nfft)) * \
+        cfo_ops.bank_select(bank, fo_sel)
     f = jnp.fft.fft(win, cfg.nfft, axis=-1)
     fd = f[:, data_bins]
     power = jnp.sum(jnp.abs(fd) ** 2, axis=-1, keepdims=True)

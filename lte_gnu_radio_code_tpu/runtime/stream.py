@@ -729,8 +729,8 @@ def legacy_stream_step(cfg: OFDMConfig, state: LegacyStreamState,
     demod_ok = valid & (g_ptrs + cfg.m_synch * cfg.rx_b_len + cfg.nfft
                         <= real_end)
     start = jnp.where(demod_ok, start, 0)
-    idx = start[:, None] + jnp.arange(cfg.nfft)[None, :]
-    win = ext[idx] * jnp.asarray(bank)[fo_sel]
+    win = cfo_ops.windows_at(ext, start, np.arange(cfg.nfft)) * \
+        cfo_ops.bank_select(bank, fo_sel)
     f = jnp.fft.fft(win, cfg.nfft, axis=-1)
     fd = f[:, data_bins]
     power = jnp.sum(jnp.abs(fd) ** 2, axis=-1, keepdims=True)
