@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax.numpy as jnp
-from jax import lax
+from jax import lax, vmap
 
 from ..utils.params import OFDMConfig, used_bins
 from .sync import sync_correlate_ifft
@@ -98,8 +98,8 @@ def windows_at(x: jnp.ndarray, ptrs: jnp.ndarray, offs) -> jnp.ndarray:
     offs = np.asarray(offs)
     span = int(offs.max()) + 1
     xp = jnp.pad(x, (0, span), mode="edge")
-    segs = jax.vmap(
-        lambda p: jax.lax.dynamic_slice_in_dim(xp, p, span, axis=0))(ptrs)
+    segs = vmap(
+        lambda p: lax.dynamic_slice_in_dim(xp, p, span, axis=0))(ptrs)
     return segs[:, jnp.asarray(offs)]
 
 
