@@ -96,3 +96,36 @@ def test_rx_frame_identical_decisions_across_paths(fast):
     assert int(want.delay_idx) == int(got.delay_idx)
     np.testing.assert_array_equal(np.asarray(want.hard_bits),
                                   np.asarray(got.hard_bits))
+
+
+def test_windows_at_matches_gather_including_clamp():
+    """The gather-free window extraction (round-4 de-gather) must equal the
+    advanced-indexing gather bit-for-bit, including the index-clamp
+    semantics for windows that run past the buffer end."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lte_gnu_radio_code_tpu.ops import cfo as cfo_ops
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(500) + 1j * rng.standard_normal(500)
+         ).astype(np.complex64)
+    offs = (np.arange(3) * 40)[:, None] + np.arange(32)[None, :]
+    # in-range, partially out-of-range, and fully out-of-range pointers
+    ptrs = jnp.asarray([0, 100, 420, 499], jnp.int32)
+    ref = jnp.asarray(x)[jnp.clip(
+        ptrs[:, None, None] + jnp.asarray(offs)[None], 0, len(x) - 1)]
+    out = cfo_ops.windows_at(jnp.asarray(x), ptrs, offs)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_bank_select_matches_gather():
+    import numpy as np
+    import jax.numpy as jnp
+    from lte_gnu_radio_code_tpu.ops import cfo as cfo_ops
+
+    rng = np.random.default_rng(1)
+    bank = (rng.standard_normal((7, 64)) + 1j * rng.standard_normal((7, 64))
+            ).astype(np.complex64)
+    sel = jnp.asarray([0, 6, 3, 3, 1], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(cfo_ops.bank_select(bank, sel)), bank[np.asarray(sel)])
