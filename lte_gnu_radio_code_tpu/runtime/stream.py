@@ -131,9 +131,10 @@ def stream_step(cfg: OFDMConfig, state: StreamState, chunk: jnp.ndarray,
     valid = locked & readable & (k < num_patterns_total)
 
     rel = jnp.where(valid, b_k - ext_start, 0)
-    start = rel[:, None] + (m0 + jnp.arange(nd))[None, :] * cfg.rx_b_len
-    idx = start[..., None] + jnp.arange(cfg.nfft)[None, None, :]
-    f = jnp.fft.fft(ext[idx], cfg.nfft, axis=-1)
+    from ..ops import cfo as _cfo_ops
+    doffs = ((m0 + np.arange(nd))[:, None] * cfg.rx_b_len +
+             np.arange(cfg.nfft)[None, :])
+    f = jnp.fft.fft(_cfo_ops.windows_at(ext, rel, doffs), cfg.nfft, axis=-1)
     fd = f[..., data_bins]
     power = jnp.sum(jnp.abs(fd) ** 2, axis=-1, keepdims=True)
     fd = fd * jnp.sqrt(fd.shape[-1] / jnp.maximum(power, 1e-30))
