@@ -302,11 +302,16 @@ def build(stage, which, batch, r_iters):
                         cfg.num_data_symb, cfg.num_data_only_bins)))
             for i in range(batch)])
         interp = jax.default_backend() != "tpu"
+        # flatten batch x symbols into the kernel's row axis (the kernel
+        # normalises per row, so this is exact; avoids vmap-of-pallas_call,
+        # which this backend cannot lower)
+        gflat = grid0.reshape(-1, cfg.nfft)
 
         def body(i):
-            t = jax.vmap(lambda g: ofdm_mod.modulate(
-                cfg, g * (1.0 + 0.0 * i), interpret=interp))(grid0)
-            return jnp.sum(t.real) + jnp.sum(t.imag)
+            tr, ti = ofdm_mod.modulate_planar(
+                cfg, jnp.real(gflat) * (1.0 + 0.0 * i),
+                jnp.imag(gflat) * (1.0 + 0.0 * i), interpret=interp)
+            return jnp.sum(tr) + jnp.sum(ti)
         return scan_over(body, None), batch * n_samples, \
             "TX Pallas DFT-matmul modulate (ifft+cp+norm fused)"
 
