@@ -36,7 +36,8 @@ class RxResult(NamedTuple):
 
 def rx_frame(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
              num_patterns: int, fast: bool | Literal["pallas"] | None = None,
-             genie_h=None, perfect_chan_est: bool = False) -> RxResult:
+             genie_h=None, perfect_chan_est: bool = False,
+             eq: Literal["pallas"] | None = None) -> RxResult:
     """Demodulate a buffer of samples.  n_trials/num_patterns are static.
 
     ``fast`` selects the sync-search delay-correlation implementation:
@@ -101,6 +102,19 @@ def rx_frame(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
         from ..ops import pilots
         phasors, h_data = pilots.equalize_data_symbols_pilot(
             cfg, x, ptr, delay_idx, num_patterns, return_chan=True)
+    elif eq == "pallas":
+        # fused DFT-matmul demod kernel (derotation+MMSE folded into one
+        # per-bin coefficient) — same decisions as the XLA path, phasors to
+        # float32 tolerance; selected by the bench chain on TPU
+        from ..pallas_kernels import equalize as eq_kernel
+        phasors = eq_kernel.equalize_data_symbols(
+            cfg, x, ptr, delay_idx, chan_full, num_patterns,
+            interpret=jax.default_backend() != "tpu")
+        import numpy as _np3
+
+        from ..utils.params import used_bins as _ub3
+        h_data = chan_full[_np3.asarray(
+            _ub3(cfg.nfft, cfg.num_data_bins)[1])]
     else:
         phasors = sync.equalize_data_symbols(
             cfg, x, ptr, delay_idx, chan_full, num_patterns)

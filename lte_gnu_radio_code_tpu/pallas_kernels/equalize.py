@@ -91,11 +91,16 @@ def equalize_data_symbols(cfg: OFDMConfig, x: jnp.ndarray, lock_ptr,
     m0, nd = cfg.m_synch, cfg.synch_dat[1]
     block = cfg.pattern_len * cfg.rx_b_len
 
-    kk = jnp.arange(num_patterns)[:, None]
-    jj = jnp.arange(nd)[None, :]
-    start = lock_ptr + kk * block + (m0 + jj) * cfg.rx_b_len
-    idx = start.reshape(-1)[:, None] + jnp.arange(cfg.nfft)[None, :]
-    win = x[idx]                                        # [K, nfft]
+    # one dynamic slice at the lock + static windows (gather-free — the
+    # round-4 de-gather rule; edge padding replicates gather index-clamping)
+    span = ((num_patterns - 1) * block + (m0 + nd - 1) * cfg.rx_b_len +
+            cfg.nfft)
+    xp = jnp.pad(x, (0, span), mode="edge")
+    seg = jax.lax.dynamic_slice_in_dim(xp, lock_ptr, span, axis=0)
+    rel = (np.arange(num_patterns)[:, None, None] * block +
+           (m0 + np.arange(nd))[None, :, None] * cfg.rx_b_len +
+           np.arange(cfg.nfft)[None, None, :]).reshape(-1, cfg.nfft)
+    win = seg[jnp.asarray(rel)]                         # [K, nfft]
 
     rot = jnp.exp((1j * 2.0 * jnp.pi / cfg.nfft) *
                   delay_idx.astype(jnp.float32) *

@@ -128,3 +128,25 @@ def test_pallas_modulate_end_to_end_demodulates():
     ph, tsr, _ = G.rx_frame(cfg, rx)
     hard, _, _ = G.bit_recovery(ph)
     assert np.mean(hard[:cfg.num_bits] != bits) == 0.0
+
+
+def test_rx_frame_pallas_eq_path_decisions_match():
+    """rx_frame(eq='pallas') (the bench chain's demod path) produces the
+    same lock and hard bits as the XLA equalizer path on the same buffer."""
+    import jax.numpy as jnp
+    from lte_gnu_radio_code_tpu.models import rxofdm
+
+    cfg = GOLDEN64
+    bits = np.random.default_rng(5).integers(0, 2, cfg.num_bits)
+    tx = G.tx_frame(cfg, bits)
+    rx = G.apply_channel(tx, G.channel_taps("Fading"), max_impulse=64)
+    rx = G.awgn(cfg, rx, np.random.default_rng(6), np.var(tx))
+    a = rxofdm.make_rx(cfg, len(rx))(jnp.asarray(rx, jnp.complex64))
+    b = rxofdm.make_rx(cfg, len(rx), eq="pallas")(
+        jnp.asarray(rx, jnp.complex64))
+    assert int(a.lock_ptr) == int(b.lock_ptr)
+    assert int(a.delay_idx) == int(b.delay_idx)
+    np.testing.assert_array_equal(np.asarray(a.hard_bits),
+                                  np.asarray(b.hard_bits))
+    np.testing.assert_allclose(np.asarray(a.phasors), np.asarray(b.phasors),
+                               atol=3e-5)
