@@ -134,7 +134,8 @@ def main():
     # by tests/test_stream_rx.py on the same chunk-step program).
     from bench import emit_and_exit, try_d2h
     any_det = jax.jit(lambda s: s.astype(jnp.int32))(rx.state.any_det)
-    det_h = try_d2h(any_det)
+    det_h = try_d2h(any_det, timeout_s=600.0)   # first fetch pays the
+                                                # one-time tunnel penalty
     if det_h is not None:
         assert int(det_h.min()) == 1, "no detection in stream bench"
         verify = "ok: detections present"
@@ -173,10 +174,18 @@ def main():
     capped = msps > 1.1 * bnd
     label = which_rx + (f"_batch{nb}" if nb else "") + \
         (f"_many{many}" if many else "")
+    # the PRIMARY value is the D2H-synced segment rate when the fetch path
+    # works (completed compute, conservatively including the tunnel's
+    # degraded post-fetch dispatch); the pre-fetch dispatch rate is
+    # supplementary and capped at the bound (round-4 integrity rules)
+    value = synced_msps if synced_msps is not None else \
+        (min(msps, bnd) if capped else msps)
     emit_and_exit({
         "metric": f"streaming RX throughput ({label}, {which}, "
                   f"chunk {chunk_len})",
-        "value": round(min(msps, bnd) if capped else msps, 3),
+        "value": round(value, 3),
+        "value_is": ("D2H-synced sustained rate" if synced_msps is not None
+                     else "dispatch rate (UNVERIFIED; D2H unavailable)"),
         "raw_dispatch_msps": round(msps, 3),
         "unit": "Msamples/s/chip",
         "us_per_dispatch": round(
