@@ -34,23 +34,44 @@ def _dft_bins_mats(nfft: int, num_bins: int):
     return v.real.astype(np.float32), v.imag.astype(np.float32)
 
 
-def _kernel(wr_ref, wi_ref, vr_ref, vi_ref, cr_ref, ci_ref, or_ref, oi_ref):
+def _kernel(n_q, b_true, wr_ref, wi_ref, vr_ref, vi_ref, cr_ref, ci_ref,
+            or_ref, oi_ref, fr_acc, fi_acc):
+    """Contraction (time-sample) axis blocked through the grid, like
+    pallas_kernels/ofdm_mod (round 4: the full-resident [nfft, B] DFT
+    matrices were 2x9.8 MB at NFFT 2048 — over VMEM).  Step q accumulates
+    the partial DFT of time slab q; normalisation + the combined
+    derotation/MMSE coefficient run on the last step."""
+    q = pl.program_id(0)
     wr, wi = wr_ref[:], wi_ref[:]
     vr, vi = vr_ref[:], vi_ref[:]
-    # DFT onto data bins: F = w @ V   [K, B]
-    fr = (jnp.dot(wr, vr, preferred_element_type=jnp.float32) -
+    pr = (jnp.dot(wr, vr, preferred_element_type=jnp.float32) -
           jnp.dot(wi, vi, preferred_element_type=jnp.float32))
-    fi = (jnp.dot(wr, vi, preferred_element_type=jnp.float32) +
+    pi = (jnp.dot(wr, vi, preferred_element_type=jnp.float32) +
           jnp.dot(wi, vr, preferred_element_type=jnp.float32))
-    b = fr.shape[-1]
-    power = jnp.sum(fr * fr + fi * fi, axis=1, keepdims=True)
-    scale = jnp.sqrt(b) * jax.lax.rsqrt(jnp.maximum(power, 1e-30))
-    fr = fr * scale
-    fi = fi * scale
-    # combined derotation * MMSE coefficient (per-bin complex)
-    cr, ci = cr_ref[:], ci_ref[:]
-    or_ref[:] = fr * cr - fi * ci
-    oi_ref[:] = fr * ci + fi * cr
+
+    @pl.when(q == 0)
+    def _init():
+        fr_acc[:] = pr
+        fi_acc[:] = pi
+
+    @pl.when(q > 0)
+    def _acc():
+        fr_acc[:] += pr
+        fi_acc[:] += pi
+
+    @pl.when(q == n_q - 1)
+    def _finish():
+        fr, fi = fr_acc[:], fi_acc[:]
+        # b_true, not the lane-padded width: the padded bins are zero (they
+        # contribute nothing to power) but the normalisation is over the
+        # REAL bin count (synch_and_chan_est.py:269 p_est)
+        power = jnp.sum(fr * fr + fi * fi, axis=1, keepdims=True)
+        scale = jnp.sqrt(b_true) * jax.lax.rsqrt(jnp.maximum(power, 1e-30))
+        fr = fr * scale
+        fi = fi * scale
+        cr, ci = cr_ref[:], ci_ref[:]
+        or_ref[:] = fr * cr - fi * ci
+        oi_ref[:] = fr * ci + fi * cr
 
 
 def demod_windows(cfg: OFDMConfig, win: jnp.ndarray, coeff: jnp.ndarray,
@@ -60,23 +81,41 @@ def demod_windows(cfg: OFDMConfig, win: jnp.ndarray, coeff: jnp.ndarray,
     k = win.shape[0]
     b = cfg.num_data_bins
     vr, vi = _dft_bins_mats(cfg.nfft, b)
-    coeff2 = jnp.broadcast_to(coeff[None, :], (k, b))
-    out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32)
+    # pad the bin axis to the f32 lane width so column tiles stay aligned
+    bp = -(-b // 128) * 128
+    vr = np.pad(vr, ((0, 0), (0, bp - b)))
+    vi = np.pad(vi, ((0, 0), (0, bp - b)))
+    coeff2 = jnp.broadcast_to(
+        jnp.pad(coeff, (0, bp - b))[None, :], (k, bp))
+    # contraction tile: largest power-of-two divisor of nfft keeping the two
+    # [kt, bp] slabs under ~6 MB
+    budget = max(128, 6 * 2 ** 20 // (2 * 4 * bp))
+    kt = min(cfg.nfft, 128)
+    while kt * 2 <= budget and kt * 2 <= cfg.nfft:
+        kt *= 2
+    n_q = -(-cfg.nfft // kt)
+    assert cfg.nfft % kt == 0, (cfg.nfft, kt)
+    wspec = pl.BlockSpec((k, kt), lambda q: (0, q), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((kt, bp), lambda q: (q, 0), memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((k, bp), lambda q: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((k, bp), jnp.float32)
     tr, ti = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, n_q, float(b)),
+        grid=(n_q,),
         out_shape=(out_shape, out_shape),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        in_specs=[wspec, wspec, vspec, vspec, fspec, fspec],
+        out_specs=(fspec, fspec),
+        scratch_shapes=[pltpu.VMEM((k, bp), jnp.float32),
+                        pltpu.VMEM((k, bp), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=8 * k * cfg.nfft * b,
-            bytes_accessed=4 * k * (2 * cfg.nfft + 4 * b),
+            flops=8 * k * cfg.nfft * bp,
+            bytes_accessed=4 * k * (2 * cfg.nfft + 4 * bp),
             transcendentals=0),
         interpret=interpret,
     )(win.real.astype(jnp.float32), win.imag.astype(jnp.float32),
       jnp.asarray(vr), jnp.asarray(vi),
       coeff2.real.astype(jnp.float32), coeff2.imag.astype(jnp.float32))
-    return (tr + 1j * ti).astype(jnp.complex64)
+    return (tr[:, :b] + 1j * ti[:, :b]).astype(jnp.complex64)
 
 
 def equalize_data_symbols(cfg: OFDMConfig, x: jnp.ndarray, lock_ptr,
