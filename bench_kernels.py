@@ -25,6 +25,11 @@ import numpy as np
 
 import jax
 
+# the axon site hook overrides JAX_PLATFORMS; honour an explicit CPU
+# request through the config flag (smoke tests)
+if os.environ.get("BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 # persistent compile cache (same as bench.py): warm repeats skip the
 # ~minutes-long tunnel compile
 jax.config.update("jax_compilation_cache_dir",
