@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""VERIFIED continuous-streaming throughput (round 4).
+
+bench_streaming.py's dispatch-loop numbers are RPC rates (the tunnel's
+completion events lie — BASELINE.md), and its post-fetch segments die
+because dispatching any OTHER executable after the first D2H fails on this
+tunnel.  This bench follows the one proven-safe pattern (bench.py verified
+mode): exactly ONE jitted executable in the whole process — a lax.scan of
+K chunk steps of the continuous re-acquisition receiver — whose fetched
+output (stream base + total detections) is both the completion barrier and
+the verification.  The IQ stream is generated on the HOST by the NumPy
+oracle and pre-staged as planar float32 device arrays before any fetch
+(the tunnel lacks complex H2D), so no second executable ever exists.
+
+Usage: bench_streaming_verified.py [config] [chunk] [K] [B]
+  K = chunks per dispatch (lax.scan), B = independent streams (vmap).
+Sync path via BENCH_SYNC_PATH (pallas default, as bench.py).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+if os.environ.get("BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+from jax import lax
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from bench import ORACLE_MSPS, bound_msps, emit_and_exit, try_d2h
+from lte_gnu_radio_code_tpu.reference_cpu import golden as G
+from lte_gnu_radio_code_tpu.runtime.stream import (reacq_det_max, reacq_init,
+                                                   reacq_step)
+from lte_gnu_radio_code_tpu.utils.params import GOLDEN64
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "lte1024"
+    if which == "loopback64":
+        cfg = GOLDEN64
+    else:
+        from lte_gnu_radio_code_tpu.utils.params import LTE1024, LTE2048
+        cfg = {"lte1024": LTE1024, "lte2048": LTE2048}[which]
+    chunk_len = int(sys.argv[2]) if len(sys.argv) > 2 else \
+        16 * cfg.rx_b_len // max(1, cfg.stride) * max(1, cfg.stride)
+    k_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    b_streams = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    fast = os.environ.get("BENCH_SYNC_PATH", "pallas")
+    fast = {"ifft": "ifft", "conv": True, "pallas": "pallas",
+            "exact": False}[fast]
+    det_max = reacq_det_max(cfg, chunk_len)
+
+    # ---- host-side stream: a few oracle TX frames through Fading + AWGN
+    rng = np.random.default_rng(0)
+    n_frames = max(2, (2 * k_chunks * chunk_len) // cfg.frame_len + 1)
+    tx = np.concatenate([G.tx_frame(cfg, rng.integers(0, 2, cfg.num_bits))
+                         for _ in range(n_frames)])
+    sig = G.apply_channel(tx, G.channel_taps("Fading"), max_impulse=cfg.nfft)
+    sig = G.awgn(cfg, sig, rng, np.var(tx)).astype(np.complex64)
+    n_chunks = len(sig) // chunk_len
+    assert n_chunks >= k_chunks, (n_chunks, k_chunks)
+    chunks_np = sig[: n_chunks * chunk_len].reshape(n_chunks, chunk_len)
+    n_groups = max(2, n_chunks // k_chunks)
+    groups = [np.stack([chunks_np[(g * k_chunks + j) % n_chunks]
+                        for j in range(k_chunks)]) for g in range(n_groups)]
+    # pre-staged planar float32 device arrays (before any fetch)
+    dev_groups = [(jax.device_put(g.real.astype(np.float32)),
+                   jax.device_put(g.imag.astype(np.float32)))
+                  for g in groups]
+
+    step = functools.partial(reacq_step, cfg, det_max=det_max, fast=fast)
+
+    def one_stream(state, cre, cim):
+        def body(carry, c2):
+            st, ndet = carry
+            s2, out = step(st, lax.complex(c2[0], c2[1]),
+                           jnp.int32(chunk_len))
+            return (s2, ndet + jnp.sum(out.valid.astype(jnp.int32))), ()
+        (st, ndet), _ = lax.scan(body, (state, jnp.int32(0)), (cre, cim))
+        return st, ndet
+
+    @jax.jit
+    def seg(states, cre, cim):
+        if b_streams == 1:
+            st, ndet = one_stream(states, cre, cim)
+            probe = jnp.stack([st.base, ndet]).reshape(2)
+            return st, probe
+        sts, ndets = jax.vmap(lambda s: one_stream(s, cre, cim))(states)
+        probe = jnp.stack([sts.base[0], jnp.sum(ndets)]).reshape(2)
+        return sts, probe
+
+    if b_streams == 1:
+        states = reacq_init(cfg)
+    else:
+        states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (b_streams,) + x.shape) + 0,
+            reacq_init(cfg))
+
+    states, probe = seg(states, *dev_groups[0])
+    jax.block_until_ready(probe)
+    first = try_d2h(probe, timeout_s=900.0)     # sacrificial + verification
+    if first is None:
+        emit_and_exit({"metric": f"verified streaming RX ({which})",
+                       "error": "D2H unavailable; verified mode impossible "
+                                "in this window"})
+    samples_per_dispatch = k_chunks * chunk_len * b_streams
+
+    rep_msps, ndet = [], int(first[1])
+    for i in range(5):
+        t0 = time.perf_counter()
+        states, probe = seg(states, *dev_groups[(i + 1) % n_groups])
+        p = np.asarray(probe)                   # fetch == barrier
+        dt = time.perf_counter() - t0
+        rep_msps.append(samples_per_dispatch / dt / 1e6)
+        ndet = int(p[1])
+    assert ndet > 0, "no detections in the verified streaming bench"
+
+    msps = float(np.median(rep_msps))
+    spread = 100.0 * (max(rep_msps) - min(rep_msps)) / msps
+    bnd = bound_msps(which)
+    emit_and_exit({
+        "metric": f"VERIFIED streaming RX throughput ({which}, chunk "
+                  f"{chunk_len}, K={k_chunks} chunks/dispatch, "
+                  f"B={b_streams} streams)",
+        "value": round(msps, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / ORACLE_MSPS[which], 2),
+        "mode": "verified-on-device (single executable; fetched "
+                "base+detections are the completion barrier)",
+        "sync_path": os.environ.get("BENCH_SYNC_PATH", "pallas"),
+        "reps": len(rep_msps),
+        "spread_pct": round(spread, 1),
+        "rep_msps": [round(v, 1) for v in rep_msps],
+        "detections_per_dispatch": ndet,
+        "bound_msps_full_chain": round(bnd, 1),
+        "fraction_of_bound": round(msps / bnd, 4),
+        "capped": bool(msps > 1.1 * bnd),
+        "verify": "ok: detections present, stream state advancing "
+                  "(fetched on-device)",
+    })
+
+
+if __name__ == "__main__":
+    main()
