@@ -84,33 +84,33 @@ def main():
 
     step = functools.partial(reacq_step, cfg, det_max=det_max, fast=fast)
 
-    def one_stream(state, cre, cim):
+    # ONE executable whose ONLY outputs are two int32 scalars — the exact
+    # shape bench.py's proven verified mode uses.  (Returning the stream
+    # state pytree, which contains complex64 buffers, wedged the subsequent
+    # probe fetch on this tunnel even though only the real probe was read.)
+    # Each dispatch therefore re-enters from the initial state and scans
+    # K chunks — the steady-state per-chunk cost is what is measured.
+    def one_stream(cre, cim):
         def body(carry, c2):
             st, ndet = carry
             s2, out = step(st, lax.complex(c2[0], c2[1]),
                            jnp.int32(chunk_len))
             return (s2, ndet + jnp.sum(out.valid.astype(jnp.int32))), ()
-        (st, ndet), _ = lax.scan(body, (state, jnp.int32(0)), (cre, cim))
-        return st, ndet
+        (st, ndet), _ = lax.scan(body, (reacq_init(cfg), jnp.int32(0)),
+                                 (cre, cim))
+        return st.base, ndet
 
     @jax.jit
-    def seg(states, cre, cim):
+    def seg(cre, cim):
         if b_streams == 1:
-            st, ndet = one_stream(states, cre, cim)
-            probe = jnp.stack([st.base, ndet]).reshape(2)
-            return st, probe
-        sts, ndets = jax.vmap(lambda s: one_stream(s, cre, cim))(states)
-        probe = jnp.stack([sts.base[0], jnp.sum(ndets)]).reshape(2)
-        return sts, probe
+            base, ndet = one_stream(cre, cim)
+            return jnp.stack([base, ndet]).reshape(2)
+        bases, ndets = jax.vmap(one_stream)(
+            jnp.broadcast_to(cre, (b_streams,) + cre.shape) + 0,
+            jnp.broadcast_to(cim, (b_streams,) + cim.shape) + 0)
+        return jnp.stack([bases[0], jnp.sum(ndets)]).reshape(2)
 
-    if b_streams == 1:
-        states = reacq_init(cfg)
-    else:
-        states = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (b_streams,) + x.shape) + 0,
-            reacq_init(cfg))
-
-    states, probe = seg(states, *dev_groups[0])
+    probe = seg(*dev_groups[0])
     jax.block_until_ready(probe)
     first = try_d2h(probe, timeout_s=900.0)     # sacrificial + verification
     if first is None:
@@ -122,8 +122,7 @@ def main():
     rep_msps, ndet = [], int(first[1])
     for i in range(5):
         t0 = time.perf_counter()
-        states, probe = seg(states, *dev_groups[(i + 1) % n_groups])
-        p = np.asarray(probe)                   # fetch == barrier
+        p = np.asarray(seg(*dev_groups[(i + 1) % n_groups]))
         dt = time.perf_counter() - t0
         rep_msps.append(samples_per_dispatch / dt / 1e6)
         ndet = int(p[1])
