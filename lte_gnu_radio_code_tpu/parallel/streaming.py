@@ -73,10 +73,10 @@ def _body(cfg: OFDMConfig, hist, x_local, base, real_end, last_det_ptr,
     gptrs = lax.all_gather(global_ptrs, axis, tiled=True)
     gate = cfg.detection_gate * cfg.m_synch * cfg.num_synch_bins
     crossing = (vals > gate) & (gptrs >= cfg.cp_len)
-    accepted, (last_ptr, any_det1) = sync.refractory_scan(
-        cfg, crossing, gptrs, last_det_ptr, any_det)
-    (g_det, delays, peaks), count = sync.emit_slots(
-        accepted, (gptrs, inds, vals.astype(jnp.float32)), det_max)
+    g_det, (delays, peaks), count, (last_ptr, any_det1) = \
+        sync.refractory_table(
+            cfg, crossing, (inds, vals.astype(jnp.float32)), det_max,
+            base - lag + cfg.cp_len, last_det_ptr, any_det)
     valid = jnp.arange(det_max) < count
 
     # -- 4. per-shard demod of owned detections, psum merge -----------------
@@ -231,10 +231,10 @@ def _legacy_body(cfg: OFDMConfig, hist, x_local, base, real_end,
     gptrs = lax.all_gather(global_ptrs, axis, tiled=True)
     gate = cfg.detection_gate * cfg.m_synch * cfg.num_synch_bins
     crossing = (vals > gate) & (gptrs >= cfg.cp_len)
-    accepted, (last_ptr, any_det1) = sync.refractory_scan(
-        cfg, crossing, gptrs, last_det_ptr, any_det)
-    (g_det, delays, fo_sel, peaks), count = sync.emit_slots(
-        accepted, (gptrs, dlys, fos, vals.astype(jnp.float32)), det_max)
+    g_det, (delays, fo_sel, peaks), count, (last_ptr, any_det1) = \
+        sync.refractory_table(
+            cfg, crossing, (dlys, fos, vals.astype(jnp.float32)), det_max,
+            base - lag + cfg.cp_len, last_det_ptr, any_det)
     valid = jnp.arange(det_max) < count
     fo_sel = fo_sel.astype(jnp.int32)
 

@@ -254,11 +254,12 @@ def reacq_step(cfg: OFDMConfig, state: ReacqState, chunk: jnp.ndarray,
     # trials before the stream head (chunk 0's warm-up region) don't exist
     crossing = (dmax_val > gate) & (global_ptrs >= cfg.cp_len)
 
-    accepted, (last_ptr, any_det) = sync.refractory_scan(
-        cfg, crossing, global_ptrs, state.last_det_ptr, state.any_det)
-    (g_ptrs, l_ptrs, delays, peaks), count = sync.emit_slots(
-        accepted, (global_ptrs, local_ptrs, dmax_ind,
-                   dmax_val.astype(jnp.float32)), det_max)
+    g_ptrs, (l_ptrs, delays, peaks), count, (last_ptr, any_det) = \
+        sync.refractory_table(
+            cfg, crossing,
+            (local_ptrs, dmax_ind, dmax_val.astype(jnp.float32)),
+            det_max, ext_start + cfg.cp_len,
+            state.last_det_ptr, state.any_det)
     valid = jnp.arange(det_max) < count
 
     real_end = state.real_end + n_real
@@ -706,11 +707,12 @@ def legacy_stream_step(cfg: OFDMConfig, state: LegacyStreamState,
     gate = cfg.detection_gate * cfg.m_synch * cfg.num_synch_bins
     crossing = (dmax_val > gate) & (global_ptrs >= cfg.cp_len)
 
-    accepted, (last_ptr, any_det) = sync.refractory_scan(
-        cfg, crossing, global_ptrs, state.last_det_ptr, state.any_det)
-    (g_ptrs, l_ptrs, delays, fo_sel, peaks), count = sync.emit_slots(
-        accepted, (global_ptrs, local_ptrs, delay_win, fo_win,
-                   dmax_val.astype(jnp.float32)), det_max)
+    g_ptrs, (l_ptrs, delays, fo_sel, peaks), count, (last_ptr, any_det) = \
+        sync.refractory_table(
+            cfg, crossing,
+            (local_ptrs, delay_win, fo_win, dmax_val.astype(jnp.float32)),
+            det_max, ext_start + cfg.cp_len,
+            state.last_det_ptr, state.any_det)
     valid = jnp.arange(det_max) < count
     fo_sel = fo_sel.astype(jnp.int32)
 
