@@ -311,7 +311,12 @@ def estimate_channel(cfg: OFDMConfig, spectrum: jnp.ndarray, delay_idx):
     dse = jnp.asarray(delay_search_matrix(cfg))
     snr_lin = cfg.snr_linear
 
-    data_recov = dse[delay_idx] * spectrum                  # de-rotate winning delay
+    # winning delay row via a contiguous dynamic slice, NOT a dse[delay_idx]
+    # gather (~25 ns/element on this backend — it was the fixed ~1 ms
+    # per-chunk cost of the streaming receivers' vmapped channel estimates)
+    dse_row = lax.dynamic_slice_in_dim(
+        dse, jnp.asarray(delay_idx, jnp.int32), 1, axis=0)[0]
+    data_recov = dse_row * spectrum                         # de-rotate winning delay
     tmp = (data_recov * jnp.conj(zc)) / (1.0 / snr_lin + 1.0)
     chan_est = jnp.mean(tmp.reshape(cfg.m_synch, cfg.num_synch_bins), axis=0)
     full = jnp.zeros(cfg.nfft, jnp.complex64).at[np.asarray(synch_bins)].set(chan_est)
