@@ -49,7 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.fast_sync import _kernels
 from ..utils.params import OFDMConfig
 
-_MIN_EFF_STRIDE = 8     # sublane granularity for the Hankel column slices
+_MIN_EFF_STRIDE = 64    # effective-stride target for the Hankel column
+                        # slices: must be a multiple of the 8-sublane
+                        # granularity; raised from 8 in round 4 — deeper
+                        # per-q contraction (32 vs 8) feeds the MXU far
+                        # better for dense stride-1 searches (the
+                        # loopback64 chain's dominant cost)
 
 
 @functools.lru_cache(maxsize=32)
