@@ -53,7 +53,8 @@ from lte_gnu_radio_code_tpu.ops import modulation, sync
 from lte_gnu_radio_code_tpu.utils.params import GOLDEN64
 
 STAGES = ["awgn", "tx", "txmap", "txgrid", "txifft", "chan", "sync",
-          "spectra", "corr", "lock", "eq", "llr", "chain", "syncconv",
+          "spectra", "corr", "lock", "eq", "llr", "chain", "rxonly",
+          "syncconv",
           "syncpallas", "txpallas", "fft", "matmul"]
 
 
@@ -135,6 +136,25 @@ def build(stage, which, batch, r_iters):
                     bits, i * batch + jnp.arange(batch, dtype=jnp.int32))
             return jnp.sum(ber) + jnp.sum(found.astype(jnp.float32))
         return scan_over(body, None), batch * n_samples, "full chain"
+
+    if stage == "rxonly":
+        # the receiver-deployment shape: IQ in -> bits out, nothing else
+        # (no TX/channel/AWGN simulation) — Pallas sync + Pallas demod
+        bits_ref = jnp.asarray(bits_h)
+
+        def body(i):
+            def one(x, b):
+                r = rxofdm.rx_frame(cfg, x, n_trials, num_patterns,
+                                    fast="pallas", eq="pallas")
+                nb = min(r.hard_bits.shape[0], b.shape[0])
+                ber = jnp.mean((r.hard_bits[:nb] != b[:nb]
+                                ).astype(jnp.float32))
+                return ber + 0.0 * i, r.found.astype(jnp.float32)
+            ber, found = jax.vmap(one)(jnp.asarray(rx_h) * (1.0 + 0.0 * i),
+                                       bits_ref)
+            return jnp.sum(ber) + jnp.sum(found)
+        return scan_over(body, None), batch * n_samples, \
+            "RX ONLY (samples in -> bits out; Pallas sync + Pallas demod)"
 
     if stage == "awgn":
         def body(i):

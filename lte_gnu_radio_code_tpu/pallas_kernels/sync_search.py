@@ -180,7 +180,7 @@ def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     # [klen_ext, CT] slab of each is resident per step.  CT is the largest
     # power-of-two <= 512 that keeps the two slabs under ~4 MiB.
     ct = 512
-    while ct > 128 and 2 * 4 * klen_ext * ct > 4 * 2 ** 20:
+    while ct > 128 and 2 * 4 * klen_ext * ct > 8 * 2 ** 20:
         ct //= 2
     # clamp to the real column count (lane-padded): small configs must not
     # pad the correlation dot out to a full 512-wide tile (~4x wasted MXU
