@@ -8,6 +8,11 @@ same-machine denominator instead of reusing the loopback64-only 1.01 Msps.
 
 Pure NumPy: safe to run alongside nothing else on CPU; never touches the TPU.
 Prints one JSON line per config: {"config":..., "oracle_msps":..., "reps":...}.
+
+--update-constants (VERDICT r4 #6): additionally writes the measured
+oracle_msps + a fingerprint of the config fields and the reference_cpu
+sources into bench_constants.json, the generated file bench.py validates at
+run time (no hand-pasted integrity numbers).
 """
 
 import json
@@ -33,8 +38,27 @@ from lte_gnu_radio_code_tpu.reference_cpu import golden
 from lte_gnu_radio_code_tpu.utils.params import GOLDEN64, LTE1024, LTE2048
 
 
+def _update_constants(name, cfg, oracle_msps):
+    from bench import CONSTANTS_PATH, oracle_fingerprint
+    try:
+        with open(CONSTANTS_PATH) as f:
+            consts = json.load(f)
+    except FileNotFoundError:
+        consts = {}
+    entry = consts.setdefault(name, {})
+    entry["oracle_msps"] = oracle_msps
+    entry["oracle_fingerprint"] = oracle_fingerprint(cfg)
+    with open(CONSTANTS_PATH, "w") as f:
+        json.dump(consts, f, indent=1, sort_keys=True)
+    print(json.dumps({"updated": CONSTANTS_PATH, "config": name,
+                      "oracle_msps": oracle_msps}), flush=True)
+
+
 def main():
-    which = sys.argv[1:] or ["loopback64", "lte1024", "lte2048"]
+    args = sys.argv[1:]
+    update = "--update-constants" in args
+    args = [a for a in args if a != "--update-constants"]
+    which = args or ["loopback64", "lte1024", "lte2048"]
     cfgs = {"loopback64": GOLDEN64, "lte1024": LTE1024, "lte2048": LTE2048}
     for name in which:
         cfg = cfgs[name]
@@ -52,12 +76,15 @@ def main():
             reps += 1
         assert r["ber"] == 0.0, f"oracle BER nonzero for {name}"
         med = float(np.median(times))
+        oracle_msps = round(n_samples / med / 1e6, 4)
         print(json.dumps({
-            "config": name, "oracle_msps": round(n_samples / med / 1e6, 4),
+            "config": name, "oracle_msps": oracle_msps,
             "n_samples": n_samples, "reps": reps,
             "median_s": round(med, 4),
             "spread_pct": round(100 * (max(times) - min(times)) / med, 1),
         }), flush=True)
+        if update:
+            _update_constants(name, cfg, oracle_msps)
 
 
 if __name__ == "__main__":

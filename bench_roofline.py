@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Roofline accounting for the full-chain benchmark (VERDICT r1 weak #1).
 
-Compiles the exact program bench.py times and reads XLA's own cost model
-(compiled.cost_analysis(): algorithmic flops + bytes accessed), then derives
-per-sample costs and speed-of-light bounds for the chip:
+Compiles the exact program bench.py times — chain_batch with the SAME
+BENCH_SYNC_PATH / BENCH_EQ_PATH / BENCH_TX_PATH selections — and reads
+XLA's own cost model (compiled.cost_analysis(): algorithmic flops + bytes
+accessed), then derives per-sample costs and speed-of-light bounds:
 
   memory-bound  SoL = HBM_BW / bytes_per_sample
   compute-bound SoL = peak_FLOPS / flops_per_sample
@@ -14,23 +15,32 @@ the MXU is ~1/4 of bf16 (multi-pass decomposition), so both compute bounds
 are printed and the f32 one is the honest ceiling for this un-quantised
 pipeline.
 
-Usage: bench_roofline.py [config] [--measured MSPS] — pass the Msamples/s
-bench.py printed to get the achieved fraction of the binding bound.
+--update-constants (VERDICT r4 #6): writes flops_per_sample + a fingerprint
+of (config fields, path selections, package sources) into
+bench_constants.json, which bench.py validates at run time.  Run this ON
+THE TPU BACKEND (the cost model reads the TPU lowering — FFTs become
+DFT-style matmuls there); it only compiles, never fetches, so it is
+tunnel-safe.
+
+Usage: bench_roofline.py [config] [--measured MSPS] [--update-constants]
 """
 
 import argparse
 import functools
 import json
+import os
 import sys
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
+
+if os.environ.get("BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
-from bench import bench_step
+from bench import CONSTANTS_PATH, bound_fingerprint, chain_batch, env_paths
 from lte_gnu_radio_code_tpu.models import rxofdm
 from lte_gnu_radio_code_tpu.ops import channel as chan_ops
 from lte_gnu_radio_code_tpu.utils.params import GOLDEN64, LTE1024, LTE2048
@@ -47,17 +57,28 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--measured", type=float, default=None,
                    help="Msamples/s/chip from bench.py for this config")
+    p.add_argument("--update-constants", action="store_true",
+                   help="write flops_per_sample + fingerprint into "
+                        "bench_constants.json")
     args = p.parse_args()
 
     cfg = {"loopback64": GOLDEN64, "lte1024": LTE1024,
            "lte2048": LTE2048}[args.config]
+    sync_env, eq_env, tx_env = env_paths()
+    fast = {"ifft": "ifft", "conv": True, "pallas": "pallas",
+            "exact": False}[sync_env]
+    eq = None if eq_env == "xla" else eq_env
+    tx_path = None if tx_env == "xla" else tx_env
+
     n_samples = cfg.frame_len + cfg.nfft - 1
     n_trials, num_patterns = rxofdm.plan_rx(cfg, n_samples)
     h = chan_ops.channel_taps("Fading")
-    step = jax.jit(jax.vmap(functools.partial(
-        bench_step, cfg, h, n_trials, num_patterns)))
+    step = jax.jit(functools.partial(
+        chain_batch, cfg, h, n_trials, num_patterns, fast=fast, eq=eq,
+        tx_path=tx_path))
 
     rng = np.random.default_rng(0)
+    import jax.numpy as jnp
     bits = jnp.asarray(rng.integers(0, 2, (args.batch, cfg.num_bits),
                                     dtype=np.int32))
     seeds = jnp.arange(args.batch, dtype=jnp.int32)
@@ -84,6 +105,7 @@ def main():
         "sol_memory_msps_prefusion_lower_bound": round(sol_mem, 1),
         "sol_compute_f32_msps": round(sol_f32, 1),
         "sol_compute_bf16_msps": round(sol_bf16, 1),
+        "sync_path": sync_env, "eq_path": eq_env, "tx_path": tx_env,
         "backend": jax.default_backend(),
     }
     if args.measured:
@@ -94,7 +116,25 @@ def main():
         # is a dispatch rate, not a compute rate (BASELINE.md integrity)
         out["fraction_of_bf16_compute_sol"] = round(args.measured / sol_bf16, 3)
         out["consistent"] = bool(args.measured <= sol_bf16 * 1.1)
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+    if args.update_constants:
+        try:
+            with open(CONSTANTS_PATH) as f:
+                consts = json.load(f)
+        except FileNotFoundError:
+            consts = {}
+        entry = consts.setdefault(args.config, {})
+        entry["flops_per_sample"] = round(fps, 1)
+        entry["bound_fingerprint"] = bound_fingerprint(
+            cfg, sync_env, eq_env, tx_env)
+        entry["bound_backend"] = jax.default_backend()
+        entry["bound_batch"] = args.batch
+        with open(CONSTANTS_PATH, "w") as f:
+            json.dump(consts, f, indent=1, sort_keys=True)
+        print(json.dumps({"updated": CONSTANTS_PATH,
+                          "config": args.config,
+                          "flops_per_sample": round(fps, 1)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -62,6 +62,11 @@ def main():
     fast = os.environ.get("BENCH_SYNC_PATH", "pallas")
     fast = {"ifft": "ifft", "conv": True, "pallas": "pallas",
             "exact": False}[fast]
+    # "dft" runs the per-detection spectra as MXU matmuls instead of the
+    # slow backend FFT op — the serving-shape cure (VERDICT r4 #2); the
+    # FFT form stays selectable for A/B (BENCH_DEMOD_PATH=fft)
+    demod_path = os.environ.get("BENCH_DEMOD_PATH", "dft")
+    demod_path = None if demod_path == "fft" else demod_path
     det_max = reacq_det_max(cfg, chunk_len)
 
     # ---- host-side stream: a few oracle TX frames through Fading + AWGN
@@ -82,7 +87,8 @@ def main():
                    jax.device_put(g.imag.astype(np.float32)))
                   for g in groups]
 
-    step = functools.partial(reacq_step, cfg, det_max=det_max, fast=fast)
+    step = functools.partial(reacq_step, cfg, det_max=det_max, fast=fast,
+                             demod_path=demod_path)
 
     # ONE executable whose ONLY outputs are two int32 scalars — the exact
     # shape bench.py's proven verified mode uses.  (Returning the stream
@@ -141,6 +147,7 @@ def main():
         "mode": "verified-on-device (single executable; fetched "
                 "base+detections are the completion barrier)",
         "sync_path": os.environ.get("BENCH_SYNC_PATH", "pallas"),
+        "demod_path": os.environ.get("BENCH_DEMOD_PATH", "dft"),
         "reps": len(rep_msps),
         "spread_pct": round(spread, 1),
         "rep_msps": [round(v, 1) for v in rep_msps],

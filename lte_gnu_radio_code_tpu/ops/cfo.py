@@ -94,7 +94,12 @@ def bank_select(bank, fo_sel: jnp.ndarray) -> jnp.ndarray:
 def windows_at(x: jnp.ndarray, ptrs: jnp.ndarray, offs) -> jnp.ndarray:
     """x[ptrs[:, None, ...] + offs] via one contiguous dynamic slice per
     pointer + static window indices (gather-free; edge padding replicates
-    the gather's per-element index clamp for out-of-range windows)."""
+    the gather's per-element index clamp for windows running PAST the end).
+
+    Precondition: ptrs >= 0.  A negative pointer is start-clamped to 0 by
+    dynamic_slice (the whole window shifts), which does NOT match a gather's
+    per-element clamp (only the negative indices clamp to 0) — all current
+    callers mask/clamp pointers to >= 0 before calling (advisor r4)."""
     offs = np.asarray(offs)
     span = int(offs.max()) + 1
     xp = jnp.pad(x, (0, span), mode="edge")

@@ -78,7 +78,11 @@ def apply_channel(sig: jnp.ndarray, h: jnp.ndarray,
         # very short concrete CIR (every shipped SISO table): the full
         # convolution is th static shifted-adds — pure fused elementwise on
         # the VPU, ~10x cheaper than the conv op on this backend.  Tap
-        # order ascending matches np.convolve's accumulation order.
+        # order ascending matches np.convolve's accumulation order at each
+        # output sample where all taps overlap; the complex64 accumulation
+        # still rounds differently from _direct_conv_full's conv op, so the
+        # two paths agree to float32 tolerance, not bit-exactly (advisor r4
+        # — tests pin tolerance-level agreement and identical decisions).
         th = h.shape[-1]
         y = jnp.zeros(sig.shape[-1] + th - 1, jnp.complex64)
         for k in range(th):

@@ -255,9 +255,28 @@ def refractory_table(cfg: OFDMConfig, crossing: jnp.ndarray, extras: tuple,
     Returns (ptrs [max_det] i32, extras_out tuple, count,
     (last_ptr, any_yet) final carry) — identical acceptances to the
     sequential rule (tests pin stream==batch==oracle equality).
+
+    Carry caveat (advisor r4): when a chunk holds MORE than max_det
+    acceptances, the jump-scan stops at the max_det-th, so the returned
+    last_ptr is the max_det-th acceptance's pointer — whereas the
+    sequential refractory_scan carried the pointer of the true last
+    acceptance (its table likewise dropped the overflow rows, but its
+    carry kept advancing).  Streaming callers that CONTINUE the carry must
+    therefore size max_det >= trial_span // refractory + 1 (what
+    reacq_det_max computes), which makes overflow impossible; that sizing
+    is asserted below whenever an explicit carry is passed in.  Carry-less
+    batch callers (refractory_detect) keep the reference's drop-overflow
+    table semantics unchanged.
     """
     stride = max(1, cfg.stride)
     refractory = 2 * cfg.cp_len + cfg.nfft
+    if last_ptr is not None or any_yet is not None:
+        # continuation caller: overflow would desynchronise the carry
+        span = crossing.shape[0] * stride
+        assert max_det >= span // refractory + 1, (
+            f"refractory_table: max_det={max_det} can overflow "
+            f"({span} trial-span samples / refractory {refractory}); size "
+            "det_max via runtime.stream.reacq_det_max")
     if last_ptr is None:
         last_ptr = jnp.int32(0)
     if any_yet is None:

@@ -3,19 +3,28 @@ on the MXU) + cyclic-prefix extension + the reference's two-stage per-symbol
 power normalisation, in ONE VMEM-resident pass.
 
 Why a kernel: the XLA path (ops/ofdm.py:modulate) runs ifft -> concat ->
-norm as separate HBM-level ops; for the small NFFTs of this workload
-(64..2048) the DFT-as-matmul formulation keeps the whole symbol tile in
-VMEM, feeds the MXU directly, and fuses the CP copy + both normalisations
-into the same pass — one HBM read of the grid, one HBM write of the frame.
+norm as separate HBM-level ops, and on this backend the FFT op itself runs
+at ~121 GFLOP/s algorithmic while the MXU sustains 122-186 TFLOP/s
+(BASELINE.md round-4 calibration) — so the DFT-as-matmul formulation wins
+despite the nfft/log(nfft) FLOP multiplier, exactly as it did for the sync
+search.  The kernel keeps each symbol tile in VMEM, feeds the MXU directly,
+and fuses the CP copy + both normalisations into the same pass — one HBM
+read of the grid, one HBM write of the frame.
 
 Round-4 restructure (VERDICT r3 #8): the full-resident IDFT matrices are
 2*nfft^2*4 B — 33.5 MB at NFFT 2048, over the ~16 MB VMEM and the round-2/3
-OOM.  The contraction (grid-column) axis is now blocked through the Pallas
+OOM.  The contraction (grid-column) axis is blocked through the Pallas
 grid: step q loads only the [kt, nfft] row slab of each IDFT matrix and the
 matching [s, kt] grid column slice, accumulating the partial IDFT into VMEM
-scratch; the CP copy + normalisations run once on the last step.  Peak VMEM
-is ~2*kt*nfft*4 (weight slabs) + 2*s*nfft*4 (accumulators) + in/out tiles —
-under 10 MB for every shipped config including NFFT 2048.
+scratch; the CP copy + normalisations run once on the last step.
+
+Round-5 restructure (VERDICT r4 #1): the SYMBOL (row) axis is now blocked
+through the grid as well, so whole-batch flattened calls (batch x symbols
+rows — 2048 rows at lte1024 batch 32) fit VMEM: grid = (row tiles,
+contraction tiles), with the accumulator scratch sized per row tile.  Rows
+are independent (the normalisation is per symbol), so tiling the row axis
+is exact.  This is what lets the verified bench chain run TX through the
+kernel (BENCH_TX_PATH=pallas) instead of the backend FFT op.
 
 Complex arithmetic is planar: the kernel takes/returns float32 re/im pairs
 (which also sidesteps the axon tunnel's complex-transfer hole).
@@ -56,9 +65,19 @@ def _contraction_tile(nfft: int) -> int:
     return kt
 
 
+def _row_tile(s: int, nfft: int, cp: int, kt: int) -> int:
+    """Largest multiple-of-8 row tile keeping the per-tile VMEM residents
+    (2 accumulators [rt, nfft] + 2 outputs [rt, nfft+cp] + 2 inputs
+    [rt, kt]) under ~5 MiB.  The weight slabs (sized by _contraction_tile)
+    add <= ~6 MiB on top; total stays within the ~16 MiB VMEM."""
+    per_row = 4 * 2 * (nfft + (nfft + cp) + kt)
+    rt = max(8, (5 * 2 ** 20 // per_row) // 8 * 8)
+    return min(rt, -(-s // 8) * 8)
+
+
 def _kernel(cp: int, n_q: int, gr_ref, gi_ref, wr_ref, wi_ref,
             or_ref, oi_ref, xr_acc, xi_acc):
-    q = pl.program_id(0)
+    q = pl.program_id(1)
     gr, gi = gr_ref[:], gi_ref[:]
     wr, wi = wr_ref[:], wi_ref[:]
     # partial batched IDFT on the MXU: x += g[:, qk] @ W[qk, :]
@@ -103,39 +122,59 @@ def _kernel(cp: int, n_q: int, gr_ref, gi_ref, wr_ref, wi_ref,
 
 def modulate_planar(cfg: OFDMConfig, grid_re: jnp.ndarray,
                     grid_im: jnp.ndarray, interpret: bool = False):
-    """[S, nfft] re/im grid -> ([S, nfft+cp] re, im) time symbols."""
+    """[S, nfft] re/im grid -> ([S, nfft+cp] re, im) time symbols.
+
+    S may be any row count (batch x symbols flattened is the intended
+    whole-batch shape) — rows are normalised independently, and the row
+    axis is grid-tiled so arbitrary S fits VMEM."""
     s = grid_re.shape[0]
     nfft = cfg.nfft
     wr, wi = _idft_mats(nfft)
     kt = _contraction_tile(nfft)
     n_q = -(-nfft // kt)
     assert nfft % kt == 0, (nfft, kt)
-    out_shape = jax.ShapeDtypeStruct((s, nfft + cfg.cp_len), jnp.float32)
-    flops = 4 * 2 * s * nfft * nfft
-    gspec = pl.BlockSpec((s, kt), lambda q: (0, q), memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((kt, nfft), lambda q: (q, 0),
+    rt = _row_tile(s, nfft, cfg.cp_len, kt)
+    n_rt = -(-s // rt)
+    sp = n_rt * rt
+    if sp != s:
+        # zero row padding is exact: zero energy -> scale 1 -> zero output
+        pad = ((0, sp - s), (0, 0))
+        grid_re = jnp.pad(grid_re, pad)
+        grid_im = jnp.pad(grid_im, pad)
+    out_shape = jax.ShapeDtypeStruct((sp, nfft + cfg.cp_len), jnp.float32)
+    flops = 4 * 2 * sp * nfft * nfft
+    gspec = pl.BlockSpec((rt, kt), lambda i, q: (i, q),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((s, nfft + cfg.cp_len), lambda q: (0, 0),
+    wspec = pl.BlockSpec((kt, nfft), lambda i, q: (q, 0),
                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    ospec = pl.BlockSpec((rt, nfft + cfg.cp_len), lambda i, q: (i, 0),
+                         memory_space=pltpu.VMEM)
+    tr, ti = pl.pallas_call(
         functools.partial(_kernel, cfg.cp_len, n_q),
-        grid=(n_q,),
+        grid=(n_rt, n_q),
         out_shape=(out_shape, out_shape),
         in_specs=[gspec, gspec, wspec, wspec],
         out_specs=(ospec, ospec),
-        scratch_shapes=[pltpu.VMEM((s, nfft), jnp.float32),
-                        pltpu.VMEM((s, nfft), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rt, nfft), jnp.float32),
+                        pltpu.VMEM((rt, nfft), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=4 * s * (2 * nfft + 2 * (nfft + cfg.cp_len)),
+            bytes_accessed=4 * sp * (2 * nfft + 2 * (nfft + cfg.cp_len)),
             transcendentals=0),
         interpret=interpret,
     )(grid_re.astype(jnp.float32), grid_im.astype(jnp.float32),
       jnp.asarray(wr), jnp.asarray(wi))
+    return tr[:s], ti[:s]
+
+
+def modulate_rows(cfg: OFDMConfig, grid: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """[S, nfft] complex grid -> [S, nfft+cp] complex time symbols."""
+    tr, ti = modulate_planar(cfg, grid.real, grid.imag, interpret)
+    return (tr + 1j * ti).astype(jnp.complex64)
 
 
 def modulate(cfg: OFDMConfig, grid: jnp.ndarray,
              interpret: bool = False) -> jnp.ndarray:
     """Drop-in for ops.ofdm.modulate via the fused kernel."""
-    tr, ti = modulate_planar(cfg, grid.real, grid.imag, interpret)
-    return (tr + 1j * ti).reshape(-1).astype(jnp.complex64)
+    return modulate_rows(cfg, grid, interpret).reshape(-1)

@@ -178,7 +178,7 @@ def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     # [klen_ext, G*(cp+1)] — 17 MB at dense-stride NFFT 1024, the round-2
     # VMEM OOM.  Grid dim 1 walks column tiles of size CT, so only a
     # [klen_ext, CT] slab of each is resident per step.  CT is the largest
-    # power-of-two <= 512 that keeps the two slabs under ~4 MiB.
+    # power-of-two <= 512 that keeps the two slabs under ~8 MiB.
     ct = 512
     while ct > 128 and 2 * 4 * klen_ext * ct > 8 * 2 ** 20:
         ct //= 2

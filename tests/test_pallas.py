@@ -150,3 +150,35 @@ def test_rx_frame_pallas_eq_path_decisions_match():
                                   np.asarray(b.hard_bits))
     np.testing.assert_allclose(np.asarray(a.phasors), np.asarray(b.phasors),
                                atol=3e-5)
+
+
+def test_tx_frames_pallas_batched_row_tiled_matches_xla():
+    """Whole-batch flattened TX through the kernel (batch x symbols rows,
+    row-axis grid tiling — round 5) == per-frame XLA modulate."""
+    import dataclasses
+
+    from lte_gnu_radio_code_tpu.models import txofdm
+    cfg = dataclasses.replace(
+        OFDMConfig(nfft=256, cp_len=64, num_data_bins=252,
+                   num_synch_bins=254, num_ofdm_symb=20)).validate()
+    rng = np.random.default_rng(3)
+    bits = jnp.asarray(rng.integers(0, 2, (3, cfg.num_bits), dtype=np.int32))
+    ref = np.asarray(txofdm.tx_frames(cfg, bits, path=None))
+    out = np.asarray(txofdm.tx_frames(cfg, bits, path="pallas"))
+    assert out.shape == ref.shape == (3, cfg.frame_len)
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_tx_frames_pallas_row_tile_nondividing():
+    """Row count NOT a multiple of the row tile exercises the zero-row
+    padding path (exactness of pad-then-slice)."""
+    from lte_gnu_radio_code_tpu.models import txofdm
+    from lte_gnu_radio_code_tpu.pallas_kernels import ofdm_mod
+    cfg = GOLDEN64
+    grid = _grid(cfg)
+    # force a tiny row tile by monkeypatched budget? no — instead call with
+    # a row count that is not 8-aligned: 5 rows of the 240-symbol grid
+    sub = grid[:5]
+    ref = np.asarray(ofdm.modulate(cfg, sub).reshape(5, -1))
+    out = np.asarray(ofdm_mod.modulate_rows(cfg, sub, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)

@@ -389,3 +389,33 @@ def test_batch_streaming_equals_independent_streams():
         for f, arr in vb.items():
             va = np.stack([np.asarray(getattr(o, f)) for o in outs_a])
             np.testing.assert_array_equal(va, arr[:, b], err_msg=f"{f}[{b}]")
+
+
+def test_dft_demod_path_decisions_match_fft():
+    """demod_path='dft' (MXU DFT matmuls — the streaming serving-shape cure,
+    VERDICT r4 #2) keeps detection tables identical and hard bits
+    bit-identical to the FFT form on the canonical noisy Fading buffer."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lte_gnu_radio_code_tpu.models import stream_rx
+    from lte_gnu_radio_code_tpu.reference_cpu import golden as G
+    from lte_gnu_radio_code_tpu.utils.params import GOLDEN64
+
+    cfg = GOLDEN64
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, cfg.num_bits)
+    tx = G.tx_frame(cfg, bits)
+    rx = G.apply_channel(tx, G.channel_taps("Fading"), max_impulse=cfg.nfft)
+    rx = G.awgn(cfg, rx, rng, np.var(tx)).astype(np.complex64)
+    r1 = stream_rx.make_rx_detections(cfg, len(rx))(jnp.asarray(rx))
+    r2 = stream_rx.make_rx_detections(cfg, len(rx), demod_path="dft")(
+        jnp.asarray(rx))
+    assert int(r1.count) == int(r2.count) > 0
+    v = np.asarray(r1.valid)
+    np.testing.assert_array_equal(np.asarray(r1.ptrs)[v],
+                                  np.asarray(r2.ptrs)[v])
+    np.testing.assert_array_equal(np.asarray(r1.hard_bits)[v],
+                                  np.asarray(r2.hard_bits)[v])
+    np.testing.assert_allclose(np.asarray(r2.phasors)[v],
+                               np.asarray(r1.phasors)[v], atol=1e-4)
