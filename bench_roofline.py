@@ -125,11 +125,17 @@ def main():
         except FileNotFoundError:
             consts = {}
         entry = consts.setdefault(args.config, {})
-        entry["flops_per_sample"] = round(fps, 1)
-        entry["bound_fingerprint"] = bound_fingerprint(
-            cfg, sync_env, eq_env, tx_env)
-        entry["bound_backend"] = jax.default_backend()
-        entry["bound_batch"] = args.batch
+        fp = bound_fingerprint(cfg, sync_env, eq_env, tx_env)
+        if (sync_env, eq_env, tx_env) == ("pallas", "pallas", "pallas"):
+            # the default-path view the sibling harnesses read
+            entry["flops_per_sample"] = round(fps, 1)
+            entry["bound_fingerprint"] = fp
+            entry["bound_backend"] = jax.default_backend()
+            entry["bound_batch"] = args.batch
+        entry.setdefault("bounds", {})[fp] = {
+            "flops_per_sample": round(fps, 1),
+            "sync_path": sync_env, "eq_path": eq_env, "tx_path": tx_env,
+            "backend": jax.default_backend(), "batch": args.batch}
         with open(CONSTANTS_PATH, "w") as f:
             json.dump(consts, f, indent=1, sort_keys=True)
         print(json.dumps({"updated": CONSTANTS_PATH,

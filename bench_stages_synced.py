@@ -52,8 +52,8 @@ from lte_gnu_radio_code_tpu.ops import channel as chan_ops
 from lte_gnu_radio_code_tpu.ops import modulation, sync
 from lte_gnu_radio_code_tpu.utils.params import GOLDEN64
 
-STAGES = ["awgn", "tx", "txmap", "txgrid", "txifft", "chan", "sync",
-          "spectra", "corr", "lock", "eq", "llr", "chain", "rxonly",
+STAGES = ["awgn", "tx", "txmap", "txgrid", "txifft", "txfourstep", "chan",
+          "sync", "spectra", "corr", "lock", "eq", "llr", "chain", "rxonly",
           "syncconv",
           "syncpallas", "txpallas", "fft", "matmul"]
 
@@ -63,6 +63,22 @@ def get_cfg(which):
         return GOLDEN64
     from lte_gnu_radio_code_tpu.utils.params import LTE1024, LTE2048
     return {"lte1024": LTE1024, "lte2048": LTE2048}[which]
+
+
+def host_grids(cfg, bits_h):
+    """Resource grids as NUMPY constants, computed on the CPU backend.
+
+    An eager resource_grid on the TPU backend would need a complex D2H to
+    read back, which the axon tunnel cannot do (it raises UNIMPLEMENTED) —
+    pin the eager ops to the CPU device instead."""
+    from lte_gnu_radio_code_tpu.ops import ofdm as ofdm_ops
+    with jax.default_device(jax.devices("cpu")[0]):
+        return np.stack([
+            np.asarray(ofdm_ops.resource_grid(
+                cfg, modulation.bits_to_symbols(
+                    bits_h[i], cfg.modulation).reshape(
+                        cfg.num_data_symb, cfg.num_data_only_bins)))
+            for i in range(bits_h.shape[0])])
 
 
 def build(stage, which, batch, r_iters):
@@ -182,10 +198,12 @@ def build(stage, which, batch, r_iters):
 
     if stage == "txgrid":
         from lte_gnu_radio_code_tpu.ops import ofdm as ofdm_ops
-        pts0 = np.stack([
-            np.asarray(modulation.bits_to_symbols(bits_h[i], cfg.modulation))
-            for i in range(batch)]).reshape(
-                batch, cfg.num_data_symb, cfg.num_data_only_bins)
+        with jax.default_device(jax.devices("cpu")[0]):
+            pts0 = np.stack([
+                np.asarray(modulation.bits_to_symbols(bits_h[i],
+                                                      cfg.modulation))
+                for i in range(batch)]).reshape(
+                    batch, cfg.num_data_symb, cfg.num_data_only_bins)
 
         def body(i):
             g = jax.vmap(lambda p: ofdm_ops.resource_grid(
@@ -196,12 +214,7 @@ def build(stage, which, batch, r_iters):
 
     if stage == "txifft":
         from lte_gnu_radio_code_tpu.ops import ofdm as ofdm_ops
-        grid0 = np.stack([
-            np.asarray(ofdm_ops.resource_grid(
-                cfg, modulation.bits_to_symbols(
-                    bits_h[i], cfg.modulation).reshape(
-                        cfg.num_data_symb, cfg.num_data_only_bins)))
-            for i in range(batch)])
+        grid0 = host_grids(cfg, bits_h)
 
         def body(i):
             t = jax.vmap(lambda g: ofdm_ops.modulate(
@@ -209,6 +222,17 @@ def build(stage, which, batch, r_iters):
             return jnp.sum(t.real) + jnp.sum(t.imag)
         return scan_over(body, None), batch * n_samples, \
             "TX ifft+cp+norm only"
+
+    if stage == "txfourstep":
+        from lte_gnu_radio_code_tpu.ops import ofdm as ofdm_ops
+        grid0 = host_grids(cfg, bits_h)
+
+        def body(i):
+            t = jax.vmap(lambda g: ofdm_ops.modulate_fourstep(
+                cfg, g * (1.0 + 0.0 * i)))(grid0)
+            return jnp.sum(t.real) + jnp.sum(t.imag)
+        return scan_over(body, None), batch * n_samples, \
+            "TX four-step IDFT (two MXU matmul rounds) + cp + norm"
 
     if stage == "chan":
         tx0 = np.stack([G.tx_frame(cfg, bits_h[i])
@@ -313,14 +337,8 @@ def build(stage, which, batch, r_iters):
             "Pallas fused sync search"
 
     if stage == "txpallas":
-        from lte_gnu_radio_code_tpu.ops import ofdm as ofdm_ops
         from lte_gnu_radio_code_tpu.pallas_kernels import ofdm_mod
-        grid0 = np.stack([
-            np.asarray(ofdm_ops.resource_grid(
-                cfg, modulation.bits_to_symbols(
-                    bits_h[i], cfg.modulation).reshape(
-                        cfg.num_data_symb, cfg.num_data_only_bins)))
-            for i in range(batch)])
+        grid0 = host_grids(cfg, bits_h)
         interp = jax.default_backend() != "tpu"
         # flatten batch x symbols into the kernel's row axis (the kernel
         # normalises per row, so this is exact; avoids vmap-of-pallas_call,

@@ -75,7 +75,11 @@ def rx_frame(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
             from ..ops import fast_sync
             corr = fast_sync.sync_corr_abs_fast(cfg, x, n_trials)
         ptr, delay_idx, peak, found, first = sync.first_lock(cfg, corr)
-        spec1 = sync.sync_spectrum_at(cfg, x, first)
+        # the conv/pallas searches recompute the lock spectrum; on the
+        # pallas (TPU) path the bin restriction runs as an MXU matmul
+        # rather than the slow backend FFT op (round-5 FFT-site audit)
+        spec1 = sync.sync_spectrum_at(
+            cfg, x, first, method="dft" if fast == "pallas" else None)
         _, chan_full, cir = sync.estimate_channel(cfg, spec1, delay_idx)
     if perfect_chan_est and genie_h is not None:
         import numpy as _np

@@ -40,6 +40,8 @@ def tx_frame(cfg: OFDMConfig, bits: jnp.ndarray,
         from ..pallas_kernels import ofdm_mod
         return ofdm_mod.modulate(
             cfg, grid, interpret=jax.default_backend() != "tpu")
+    if path == "fourstep":
+        return ofdm.modulate_fourstep(cfg, grid)
     return ofdm.modulate(cfg, grid)
 
 
@@ -50,7 +52,8 @@ def tx_frames(cfg: OFDMConfig, bits: jnp.ndarray,
     The pallas path flattens batch x symbols into the kernel's row axis in
     ONE call (the kernel normalises per row, so this is exact) instead of
     vmapping the kernel — the whole batch's IDFT runs as one MXU matmul
-    sweep.  The xla path is a plain vmap of the per-frame modulator."""
+    sweep.  The xla/fourstep paths are a plain vmap of the per-frame
+    modulator (their matmuls batch across the vmap on their own)."""
     if path != "pallas":
         return jax.vmap(lambda b: tx_frame(cfg, b, path))(bits)
     from ..pallas_kernels import ofdm_mod

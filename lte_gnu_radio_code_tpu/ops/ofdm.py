@@ -9,8 +9,11 @@ loops (MultiAntennaSystem.py:189-218) become a single fused graph.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.params import OFDMConfig, used_bins
@@ -76,15 +79,12 @@ def resource_grid(cfg: OFDMConfig, data_symbols: jnp.ndarray) -> jnp.ndarray:
     return grid
 
 
-def modulate(cfg: OFDMConfig, grid: jnp.ndarray) -> jnp.ndarray:
-    """Batched IFFT + CP prepend + per-symbol power normalisation.
-
-    Replicates MultiAntennaSystem.multi_ant_symb_gen:189-218: scale each
-    CP-extended symbol to unit mean energy, then divide by sqrt(np.var)
-    (complex variance *with* mean subtraction, as np.var does).
-    Returns the time-domain frame [num_ofdm_symb * (nfft+cp)] complex64.
-    """
-    x = jnp.fft.ifft(grid, cfg.nfft, axis=-1)
+def cp_and_normalise(cfg: OFDMConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """CP prepend + the reference's two-stage per-symbol power
+    normalisation (MultiAntennaSystem.multi_ant_symb_gen:189-218): scale
+    each CP-extended symbol to unit mean energy, then divide by
+    sqrt(np.var) (complex variance *with* mean subtraction, as np.var
+    does).  x: [S, nfft] time symbols -> [S*(nfft+cp)] flat frame."""
     t = jnp.concatenate([x[:, -cfg.cp_len:], x], axis=-1)    # [S, nfft+cp]
     n = t.shape[-1]
     energy = jnp.sum(jnp.abs(t) ** 2, axis=-1, keepdims=True)
@@ -94,6 +94,61 @@ def modulate(cfg: OFDMConfig, grid: jnp.ndarray) -> jnp.ndarray:
     p = jnp.mean(jnp.abs(t - mean) ** 2, axis=-1, keepdims=True)
     t = t / jnp.sqrt(p)
     return t.reshape(-1).astype(jnp.complex64)
+
+
+def modulate(cfg: OFDMConfig, grid: jnp.ndarray) -> jnp.ndarray:
+    """Batched IFFT + CP prepend + per-symbol power normalisation.
+
+    Returns the time-domain frame [num_ofdm_symb * (nfft+cp)] complex64.
+    """
+    x = jnp.fft.ifft(grid, cfg.nfft, axis=-1)
+    return cp_and_normalise(cfg, x)
+
+
+@functools.lru_cache(maxsize=16)
+def _fourstep_mats(nfft: int):
+    """Cooley-Tukey N = N1*N2 factor matrices for the IDFT-as-two-matmul
+    form (numpy constants, closed over at trace time).
+
+    With k = k1*N2 + k2 and n = n1 + N1*n2:
+      x[n1 + N1 n2] = (1/N) sum_k2 W2[n2,k2] * T[n1,k2]
+                              * sum_k1 Xm[k1,k2] W1[n1,k1]
+    where W1[n1,k1] = e^{+2pi i n1 k1/N1}, W2[n2,k2] = e^{+2pi i n2 k2/N2},
+    T[n1,k2] = e^{+2pi i n1 k2/N} (twiddles).  Both contraction rounds are
+    [*,N1]x[N1,N1] and [*,N2]x[N2,N2] MXU matmuls — N*(N1+N2) FLOPs per
+    symbol instead of the full DFT's N^2 (21x fewer at NFFT 2048 = 64*32),
+    while still avoiding this backend's slow FFT op (BASELINE.md).
+    """
+    n1 = 1 << (int(np.log2(nfft)) + 1) // 2     # ~sqrt split, n1 >= n2
+    n2 = nfft // n1
+    w1 = np.exp(2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    w2 = np.exp(2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    tw = np.exp(2j * np.pi * np.outer(np.arange(n1), np.arange(n2)) / nfft)
+    return (n1, n2, w1.astype(np.complex64), w2.astype(np.complex64),
+            (tw / nfft).astype(np.complex64))
+
+
+def idft_fourstep(nfft: int, grid: jnp.ndarray) -> jnp.ndarray:
+    """[..., nfft] IDFT via two matmul rounds + twiddles (MXU-native).
+
+    Matches jnp.fft.ifft to float32 rounding (tests); the preferred
+    LTE-scale form on backends whose FFT op is slow."""
+    n1, n2, w1, w2, tw = _fourstep_mats(nfft)
+    lead = grid.shape[:-1]
+    xm = grid.reshape(*lead, n1, n2)                      # [., k1, k2]
+    hp = jax.lax.Precision.HIGHEST
+    # round 1: contract k1 -> A[., n1, k2], then twiddle
+    a = jnp.einsum("...kj,nk->...nj", xm, jnp.asarray(w1), precision=hp)
+    a = a * jnp.asarray(tw)                               # includes the 1/N
+    # round 2: contract k2 -> B[., n1, n2]
+    b = jnp.einsum("...nj,mj->...nm", a, jnp.asarray(w2), precision=hp)
+    # n = n1 + N1*n2 -> output index order [n2, n1]
+    return jnp.swapaxes(b, -1, -2).reshape(*lead, nfft)
+
+
+def modulate_fourstep(cfg: OFDMConfig, grid: jnp.ndarray) -> jnp.ndarray:
+    """modulate() with the IDFT as two MXU matmul rounds (no FFT op)."""
+    return cp_and_normalise(cfg, idft_fourstep(cfg.nfft, grid))
 
 
 def symbol_fft(cfg: OFDMConfig, windows: jnp.ndarray) -> jnp.ndarray:

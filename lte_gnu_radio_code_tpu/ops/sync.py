@@ -62,11 +62,24 @@ def sync_spectra(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int) -> jnp.ndarray:
     return s * jnp.sqrt(s.shape[-1] / power)
 
 
-def sync_spectrum_at(cfg: OFDMConfig, x: jnp.ndarray, trial) -> jnp.ndarray:
+@functools.lru_cache(maxsize=32)
+def _dft_synch_bins(nfft: int, num_bins: int) -> np.ndarray:
+    """[nfft, L] DFT basis restricted to the synch bins (numpy constant)."""
+    _, bins = used_bins(nfft, num_bins)
+    n = np.arange(nfft)
+    return np.exp(-2j * np.pi * np.outer(n, np.asarray(bins)) / nfft
+                  ).astype(np.complex64)
+
+
+def sync_spectrum_at(cfg: OFDMConfig, x: jnp.ndarray, trial,
+                     method: str | None = None) -> jnp.ndarray:
     """Power-normalised synch-bin spectrum of ONE trial (dynamic index).
 
     Used by the fast-sync path to compute the exact channel-estimation
-    spectrum only at the lock trial."""
+    spectrum only at the lock trial.  method="dft" computes the bin
+    restriction as an MXU matmul instead of the backend FFT op (the
+    round-5 FFT-site audit: on this backend the FFT op runs at
+    ~121 GFLOP/s — BASELINE.md); same values to float32 rounding."""
     _, synch_bins = used_bins(cfg.nfft, cfg.num_synch_bins)
     start = cfg.cp_len + cfg.stride * trial
     offs = (np.arange(cfg.m_synch) * cfg.rx_b_len)[:, None] + \
@@ -77,8 +90,13 @@ def sync_spectrum_at(cfg: OFDMConfig, x: jnp.ndarray, trial) -> jnp.ndarray:
     xp = jnp.pad(x, (0, span), mode="edge")
     seg = lax.dynamic_slice_in_dim(xp, start, span, axis=0)
     win = seg[jnp.asarray(offs - offs.min())]
-    f = jnp.fft.fft(win, cfg.nfft, axis=-1)
-    s = f[..., np.asarray(synch_bins)].reshape(-1)
+    if method == "dft":
+        s = jnp.matmul(
+            win, jnp.asarray(_dft_synch_bins(cfg.nfft, cfg.num_synch_bins)),
+            precision=Precision.HIGHEST).reshape(-1)
+    else:
+        f = jnp.fft.fft(win, cfg.nfft, axis=-1)
+        s = f[..., np.asarray(synch_bins)].reshape(-1)
     power = jnp.sum(jnp.abs(s) ** 2)
     return s * jnp.sqrt(s.shape[-1] / jnp.maximum(power, 1e-30))
 

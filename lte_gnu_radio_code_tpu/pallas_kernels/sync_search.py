@@ -49,12 +49,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.fast_sync import _kernels
 from ..utils.params import OFDMConfig
 
-_MIN_EFF_STRIDE = 64    # effective-stride target for the Hankel column
+import os
+
+_MIN_EFF_STRIDE = int(os.environ.get("BENCH_HANKEL_STRIDE", "64"))
+                        # effective-stride target for the Hankel column
                         # slices: must be a multiple of the 8-sublane
                         # granularity; raised from 8 in round 4 — deeper
                         # per-q contraction (32 vs 8) feeds the MXU far
                         # better for dense stride-1 searches (the
-                        # loopback64 chain's dominant cost)
+                        # loopback64 chain's dominant cost).  Env-overridable
+                        # so the batch x stride utilisation curve
+                        # (BASELINE.md round 5) is reproducible.
 
 
 @functools.lru_cache(maxsize=32)

@@ -182,3 +182,24 @@ def test_tx_frames_pallas_row_tile_nondividing():
     ref = np.asarray(ofdm.modulate(cfg, sub).reshape(5, -1))
     out = np.asarray(ofdm_mod.modulate_rows(cfg, sub, interpret=True))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("nfft", [64, 256, 1024, 2048])
+def test_idft_fourstep_matches_ifft(nfft):
+    """Two-matmul-round Cooley-Tukey IDFT == jnp.fft.ifft (f32 tolerance)."""
+    rng = np.random.default_rng(nfft)
+    x = (rng.standard_normal((6, nfft)) + 1j * rng.standard_normal((6, nfft))
+         ).astype(np.complex64)
+    ref = np.asarray(jnp.fft.ifft(jnp.asarray(x), nfft, axis=-1))
+    out = np.asarray(ofdm.idft_fourstep(nfft, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=5e-6)
+
+
+def test_tx_fourstep_path_matches_xla():
+    from lte_gnu_radio_code_tpu.models import txofdm
+    cfg = GOLDEN64
+    rng = np.random.default_rng(4)
+    bits = jnp.asarray(rng.integers(0, 2, (2, cfg.num_bits), dtype=np.int32))
+    ref = np.asarray(txofdm.tx_frames(cfg, bits, path=None))
+    out = np.asarray(txofdm.tx_frames(cfg, bits, path="fourstep"))
+    np.testing.assert_allclose(out, ref, atol=3e-5)
