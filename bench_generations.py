@@ -84,7 +84,14 @@ def _noisy_buffer(cfg, seed=0, cfo_hz=0.0, snr_db=60.0):
 
 def build(gen, r_iters):
     """Returns (jittable fn() -> [k] f32, expected [k] f32,
-    samples_per_dispatch, unit, label)."""
+    samples_per_dispatch, unit, label).
+
+    Shape mirrors bench.py's verified mode: a lax.scan of R iterations,
+    each a vmapped batch of BATCH independent receivers — the scan gives
+    the completion chain, the batch the parallelism (a single sequential
+    receiver per iteration would measure per-op latency, not chip
+    throughput — the serving shape is many carriers per chip)."""
+    batch = int(os.environ.get("BENCH_GEN_BATCH", "8"))
     from lte_gnu_radio_code_tpu.models import legacy_rx, tracker
     from lte_gnu_radio_code_tpu.reference_cpu import legacy as L
     from lte_gnu_radio_code_tpu.utils.params import (CFO_CASES, DSSS_CASES,
@@ -106,21 +113,23 @@ def build(gen, r_iters):
                                  n_trials=n_trials, fo_range=fo_range,
                                  max_det=24)
 
+        rx_b = np.stack([rx] * batch)
+
         def fn():
             def body(acc, i):
-                r = step(jnp.asarray(rx) * (1.0 + 0.0 * i))
+                r = jax.vmap(step)(jnp.asarray(rx_b) * (1.0 + 0.0 * i))
                 fo_ok = jnp.sum(jnp.where(
-                    jnp.arange(24) < r.count, (r.fo_idx == 1).astype(
-                        jnp.int32), 0))
-                return (acc[0] + r.count, acc[1] + fo_ok), ()
+                    jnp.arange(24)[None] < r.count[:, None],
+                    (r.fo_idx == 1).astype(jnp.int32), 0))
+                return (acc[0] + jnp.sum(r.count), acc[1] + fo_ok), ()
             acc, _ = lax.scan(body, (jnp.int32(0), jnp.int32(0)),
                               jnp.arange(r_iters, dtype=jnp.int32))
             return jnp.stack(acc).astype(jnp.float32).reshape(2)
 
-        expected = np.array([r_iters * n_exp, r_iters * n_exp], np.float32)
-        return fn, expected, r_iters * len(rx), "Msamples/s/chip", (
+        expected = np.array([r_iters * batch * n_exp] * 2, np.float32)
+        return fn, expected, r_iters * batch * len(rx), "Msamples/s/chip", (
             f"legacy CFO-search RX (R4 case 7, NFFT {cfg.nfft}, "
-            f"3-candidate fo search, injected +1500 Hz; "
+            f"3-candidate fo search, injected +1500 Hz, batch {batch}; "
             f"{n_exp} detections/frame, winning corrector verified)")
 
     if gen == "dsss":
@@ -140,24 +149,26 @@ def build(gen, r_iters):
         step = functools.partial(legacy_rx.rx_frame_cfo, cfg,
                                  n_trials=n_trials, dsss=dsss, max_det=24)
 
+        rx_b = np.stack([rx] * batch)
+
         def fn():
             def body(acc, i):
-                r = step(jnp.asarray(rx) * (1.0 + 0.0 * i))
-                d = r.despread[:n_exp]
-                mism = (jnp.sum(((d.real > 0).astype(jnp.int32) != sign_r)
-                                .astype(jnp.int32)) +
-                        jnp.sum(((d.imag > 0).astype(jnp.int32) != sign_i)
-                                .astype(jnp.int32)))
-                return (acc[0] + r.count, acc[1] + mism), ()
+                r = jax.vmap(step)(jnp.asarray(rx_b) * (1.0 + 0.0 * i))
+                d = r.despread[:, :n_exp]
+                mism = (jnp.sum(((d.real > 0).astype(jnp.int32) !=
+                                 sign_r[None]).astype(jnp.int32)) +
+                        jnp.sum(((d.imag > 0).astype(jnp.int32) !=
+                                 sign_i[None]).astype(jnp.int32)))
+                return (acc[0] + jnp.sum(r.count), acc[1] + mism), ()
             acc, _ = lax.scan(body, (jnp.int32(0), jnp.int32(0)),
                               jnp.arange(r_iters, dtype=jnp.int32))
             return jnp.stack(acc).astype(jnp.float32).reshape(2)
 
-        expected = np.array([r_iters * n_exp, 0], np.float32)
-        return fn, expected, r_iters * len(rx), "Msamples/s/chip", (
+        expected = np.array([r_iters * batch * n_exp, 0], np.float32)
+        return fn, expected, r_iters * batch * len(rx), "Msamples/s/chip", (
             f"legacy DSSS RX (R5 case {case}, NFFT {cfg.nfft}, spreading "
-            f"{dsss}; {n_exp} detections/frame, despread decisions "
-            "verified vs oracle)")
+            f"{dsss}, batch {batch}; {n_exp} detections/frame, despread "
+            "decisions verified vs oracle)")
 
     if gen == "tracker":
         cfg = GOLDEN64
@@ -171,21 +182,25 @@ def build(gen, r_iters):
                                  total_loops=total_loops, max_det=max_det)
         bits_j = jnp.asarray(bits.astype(np.int32))
 
+        rx_b = np.stack([rx] * batch)
+
         def fn():
             def body(acc, i):
-                r = step(jnp.asarray(rx) * (1.0 + 0.0 * i))
-                nb = min(r.hard_bits.shape[0], bits_j.shape[0])
-                errs = jnp.sum((r.hard_bits[:nb] != bits_j[:nb])
+                r = jax.vmap(step)(jnp.asarray(rx_b) * (1.0 + 0.0 * i))
+                nb = min(r.hard_bits.shape[1], bits_j.shape[0])
+                errs = jnp.sum((r.hard_bits[:, :nb] != bits_j[None, :nb])
                                .astype(jnp.int32))
-                return (acc[0] + r.count, acc[1] + errs), ()
+                return (acc[0] + jnp.sum(r.count), acc[1] + errs), ()
             acc, _ = lax.scan(body, (jnp.int32(0), jnp.int32(0)),
                               jnp.arange(r_iters, dtype=jnp.int32))
             return jnp.stack(acc).astype(jnp.float32).reshape(2)
 
-        expected = np.array([r_iters * cfg.num_patterns, 0], np.float32)
-        return fn, expected, r_iters * len(rx), "Msamples/s/chip", (
+        expected = np.array([r_iters * batch * cfg.num_patterns, 0],
+                            np.float32)
+        return fn, expected, r_iters * batch * len(rx), "Msamples/s/chip", (
             f"lstsq-tracking RX (R6, NFFT {cfg.nfft}, {cfg.num_patterns} "
-            "tracked blocks/frame; BER 0 vs transmitted bits verified)")
+            f"tracked blocks/frame, batch {batch}; BER 0 vs transmitted "
+            "bits verified)")
 
     if gen == "pls":
         from lte_gnu_radio_code_tpu.models import pls as mpls
@@ -200,23 +215,29 @@ def build(gen, r_iters):
         h[:, :, d] = g
         max_delay = 64
 
+        def one(key):
+            _, err, (pb, pa) = mpls.key_exchange_synced(
+                cfg, key_bits, key, h, max_delay=max_delay)
+            return err, ((pb == d) & (pa == d)).astype(jnp.int32)
+
         def fn():
             def body(acc, i):
-                key = jax.random.fold_in(jax.random.PRNGKey(1), i)
-                _, err, (pb, pa) = mpls.key_exchange_synced(
-                    cfg, key_bits, key, h, max_delay=max_delay)
-                locks_ok = ((pb == d) & (pa == d)).astype(jnp.int32)
-                return (acc[0] + err, acc[1] + locks_ok), ()
+                keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                    jax.random.PRNGKey(1),
+                    i * batch + jnp.arange(batch, dtype=jnp.int32))
+                err, locks_ok = jax.vmap(one)(keys)
+                return (acc[0] + jnp.sum(err),
+                        acc[1] + jnp.sum(locks_ok)), ()
             acc, _ = lax.scan(body, (jnp.int32(0), jnp.int32(0)),
                               jnp.arange(r_iters, dtype=jnp.int32))
             return jnp.stack(acc).astype(jnp.float32).reshape(2)
 
-        expected = np.array([0, r_iters], np.float32)
+        expected = np.array([0, r_iters * batch], np.float32)
         # "samples" = exchanges; the emit path converts to exchanges/s
-        return fn, expected, r_iters, "exchanges/s/chip", (
+        return fn, expected, r_iters * batch, "exchanges/s/chip", (
             f"PLS 2x2 key exchange (P1, {nbits}-bit key, through a real ZC "
-            f"timing lock at delay {d} > CP; 0 key-bit errors + exact "
-            "timing verified)")
+            f"timing lock at delay {d} > CP, batch {batch}; 0 key-bit "
+            "errors + exact timing verified)")
 
     raise SystemExit(f"unknown generation {gen}")
 

@@ -52,7 +52,8 @@ from lte_gnu_radio_code_tpu.ops import channel as chan_ops
 from lte_gnu_radio_code_tpu.ops import modulation, sync
 from lte_gnu_radio_code_tpu.utils.params import GOLDEN64
 
-STAGES = ["awgn", "tx", "txmap", "txgrid", "txifft", "txfourstep", "chan",
+STAGES = ["awgn", "tx", "txmap", "txgrid", "txifft", "txfourstep",
+          "txfused", "chan",
           "sync", "spectra", "corr", "lock", "eq", "llr", "chain", "rxonly",
           "syncconv",
           "syncpallas", "txpallas", "fft", "matmul"]
@@ -233,6 +234,16 @@ def build(stage, which, batch, r_iters):
             return jnp.sum(t.real) + jnp.sum(t.imag)
         return scan_over(body, None), batch * n_samples, \
             "TX four-step IDFT (two MXU matmul rounds) + cp + norm"
+
+    if stage == "txfused":
+        # whole TX (map + modulate), grid-free batched form
+        def body(i):
+            t = txofdm.tx_frames(cfg, jnp.bitwise_xor(bits, i & 1),
+                                 path="fused")
+            return jnp.sum(t.real) + jnp.sum(t.imag)
+        return scan_over(body, None), batch * n_samples, \
+            "TX fused grid-free (bits -> bins-restricted IDFT kernel + " \
+            "const synch rows)"
 
     if stage == "chan":
         tx0 = np.stack([G.tx_frame(cfg, bits_h[i])

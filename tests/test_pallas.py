@@ -203,3 +203,16 @@ def test_tx_fourstep_path_matches_xla():
     ref = np.asarray(txofdm.tx_frames(cfg, bits, path=None))
     out = np.asarray(txofdm.tx_frames(cfg, bits, path="fourstep"))
     np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_tx_frames_fused_gridfree_matches_xla():
+    """Grid-free fused TX (bins-restricted IDFT kernel + constant synch
+    rows) == the grid-based XLA modulator, batched."""
+    from lte_gnu_radio_code_tpu.models import txofdm
+    cfg = GOLDEN64
+    rng = np.random.default_rng(5)
+    bits = jnp.asarray(rng.integers(0, 2, (2, cfg.num_bits), dtype=np.int32))
+    ref = np.asarray(txofdm.tx_frames(cfg, bits, path=None))
+    out = np.asarray(txofdm.tx_frames(cfg, bits, path="fused"))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=3e-5)
