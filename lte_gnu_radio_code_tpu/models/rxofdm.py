@@ -138,6 +138,49 @@ def rx_frame(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     return RxResult(phasors, hard, llr0, llr1, ptr, delay_idx, peak, found, cir)
 
 
+def rx_frames_batch(cfg: OFDMConfig, xs: jnp.ndarray, n_trials: int,
+                    num_patterns: int):
+    """Whole-BATCH RX with the demod flattened across frames (round 5).
+
+    xs: [B, n_samples].  The sync search runs per frame (vmapped Pallas
+    kernel), but the data demod runs as ONE fused-kernel call over the
+    flattened [B*K, nfft] window rows with per-row coefficients — at small
+    per-frame row counts (K = 48 data symbols at the LTE configs) the
+    per-frame kernel under vmap starves the MXU's row dimension; flattening
+    batches it properly.  Same decisions as vmap(rx_frame(fast="pallas",
+    eq="pallas")): the kernel math is identical, rows are independent.
+
+    Returns (hard_bits [B, num_bits'], found [B], lock_ptr [B]).
+    Reference math: gr-RXOFDM/python/synch_and_chan_est.py:140-266 +
+    BitRecovery.py:155-157, batched.
+    """
+    from ..pallas_kernels import equalize as eq_kernel
+    from ..pallas_kernels import sync_search
+    interp = jax.default_backend() != "tpu"
+    b = xs.shape[0]
+
+    def syncpart(x):
+        corr = sync_search.sync_corr_abs(cfg, x, n_trials, interpret=interp)
+        ptr, delay_idx, peak, found, first = sync.first_lock(cfg, corr)
+        spec1 = sync.sync_spectrum_at(cfg, x, first, method="dft")
+        _, chan_full, _ = sync.estimate_channel(cfg, spec1, delay_idx)
+        win = eq_kernel.data_windows(cfg, x, ptr, num_patterns)
+        coeff = eq_kernel.combined_coeff(cfg, delay_idx, chan_full)
+        return win, coeff, found, ptr
+
+    win, coeff, found, ptr = jax.vmap(syncpart)(xs)     # [B, K, nfft], [B, Bb]
+    k = win.shape[1]
+    coeff_rows = jnp.broadcast_to(coeff[:, None, :],
+                                  (b, k, coeff.shape[-1]))
+    ph = eq_kernel.demod_windows(
+        cfg, win.reshape(b * k, cfg.nfft),
+        coeff_rows.reshape(b * k, coeff.shape[-1]), interp)
+    phasors = ph.reshape(b, num_patterns * cfg.synch_dat[1],
+                         cfg.num_data_bins)
+    hard, _, _ = jax.vmap(modulation.qpsk_llr)(phasors)
+    return hard, found, ptr
+
+
 def plan_rx(cfg: OFDMConfig, n_samples: int) -> tuple[int, int]:
     """Static (n_trials, num_patterns) for a given buffer length.
 

@@ -40,8 +40,9 @@ def _kernel(n_q, b_true, wr_ref, wi_ref, vr_ref, vi_ref, cr_ref, ci_ref,
     pallas_kernels/ofdm_mod (round 4: the full-resident [nfft, B] DFT
     matrices were 2x9.8 MB at NFFT 2048 — over VMEM).  Step q accumulates
     the partial DFT of time slab q; normalisation + the combined
-    derotation/MMSE coefficient run on the last step."""
-    q = pl.program_id(0)
+    derotation/MMSE coefficient run on the last step.  Round 5 adds a row
+    tile grid dim (leading) so whole-batch flattened row counts fit VMEM."""
+    q = pl.program_id(1)
     wr, wi = wr_ref[:], wi_ref[:]
     vr, vi = vr_ref[:], vi_ref[:]
     pr = (jnp.dot(wr, vr, preferred_element_type=jnp.float32) -
@@ -76,8 +77,13 @@ def _kernel(n_q, b_true, wr_ref, wi_ref, vr_ref, vi_ref, cr_ref, ci_ref,
 
 def demod_windows(cfg: OFDMConfig, win: jnp.ndarray, coeff: jnp.ndarray,
                   interpret: bool = False) -> jnp.ndarray:
-    """[K, nfft] complex windows + [B] complex combined coeff -> [K, B]
-    equalised phasors via the fused kernel."""
+    """[K, nfft] complex windows + combined coeff -> [K, B] equalised
+    phasors via the fused kernel.
+
+    coeff: [B] (one per-bin coefficient for every window — the single-lock
+    batch RX shape) or [K, B] (per-ROW coefficients — the whole-batch
+    flattened demod, where rows from different frames carry different
+    locks/channels; round 5)."""
     k = win.shape[0]
     b = cfg.num_data_bins
     vr, vi = _dft_bins_mats(cfg.nfft, b)
@@ -85,8 +91,11 @@ def demod_windows(cfg: OFDMConfig, win: jnp.ndarray, coeff: jnp.ndarray,
     bp = -(-b // 128) * 128
     vr = np.pad(vr, ((0, 0), (0, bp - b)))
     vi = np.pad(vi, ((0, 0), (0, bp - b)))
-    coeff2 = jnp.broadcast_to(
-        jnp.pad(coeff, (0, bp - b))[None, :], (k, bp))
+    if coeff.ndim == 2:
+        coeff2 = jnp.pad(coeff, ((0, 0), (0, bp - b)))
+    else:
+        coeff2 = jnp.broadcast_to(
+            jnp.pad(coeff, (0, bp - b))[None, :], (k, bp))
     # contraction tile: largest power-of-two divisor of nfft keeping the two
     # [kt, bp] slabs under ~6 MB
     budget = max(128, 6 * 2 ** 20 // (2 * 4 * bp))
@@ -95,43 +104,54 @@ def demod_windows(cfg: OFDMConfig, win: jnp.ndarray, coeff: jnp.ndarray,
         kt *= 2
     n_q = -(-cfg.nfft // kt)
     assert cfg.nfft % kt == 0, (cfg.nfft, kt)
-    wspec = pl.BlockSpec((k, kt), lambda q: (0, q), memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((kt, bp), lambda q: (q, 0), memory_space=pltpu.VMEM)
-    fspec = pl.BlockSpec((k, bp), lambda q: (0, 0), memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((k, bp), jnp.float32)
+    # row tile: keep the per-tile residents (2 scratch + 2 out + 2 coeff
+    # [rt, bp] + 2 in [rt, kt]) under ~5 MiB alongside the weight slabs
+    per_row = 4 * (6 * bp + 2 * kt)
+    rt = max(8, (5 * 2 ** 20 // per_row) // 8 * 8)
+    rt = min(rt, -(-k // 8) * 8)
+    n_rt = -(-k // rt)
+    kp_rows = n_rt * rt
+    win_re = win.real.astype(jnp.float32)
+    win_im = win.imag.astype(jnp.float32)
+    c_re = coeff2.real.astype(jnp.float32)
+    c_im = coeff2.imag.astype(jnp.float32)
+    if kp_rows != k:
+        pad = ((0, kp_rows - k), (0, 0))
+        win_re, win_im = jnp.pad(win_re, pad), jnp.pad(win_im, pad)
+        c_re, c_im = jnp.pad(c_re, pad), jnp.pad(c_im, pad)
+    wspec = pl.BlockSpec((rt, kt), lambda i, q: (i, q),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((kt, bp), lambda i, q: (q, 0),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((rt, bp), lambda i, q: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((kp_rows, bp), jnp.float32)
     tr, ti = pl.pallas_call(
         functools.partial(_kernel, n_q, float(b)),
-        grid=(n_q,),
+        grid=(n_rt, n_q),
         out_shape=(out_shape, out_shape),
         in_specs=[wspec, wspec, vspec, vspec, fspec, fspec],
         out_specs=(fspec, fspec),
-        scratch_shapes=[pltpu.VMEM((k, bp), jnp.float32),
-                        pltpu.VMEM((k, bp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rt, bp), jnp.float32),
+                        pltpu.VMEM((rt, bp), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=8 * k * cfg.nfft * bp,
-            bytes_accessed=4 * k * (2 * cfg.nfft + 4 * bp),
+            flops=8 * kp_rows * cfg.nfft * bp,
+            bytes_accessed=4 * kp_rows * (2 * cfg.nfft + 4 * bp),
             transcendentals=0),
         interpret=interpret,
-    )(win.real.astype(jnp.float32), win.imag.astype(jnp.float32),
-      jnp.asarray(vr), jnp.asarray(vi),
-      coeff2.real.astype(jnp.float32), coeff2.imag.astype(jnp.float32))
-    return (tr[:, :b] + 1j * ti[:, :b]).astype(jnp.complex64)
+    )(win_re, win_im, jnp.asarray(vr), jnp.asarray(vi), c_re, c_im)
+    return (tr[:k, :b] + 1j * ti[:k, :b]).astype(jnp.complex64)
 
 
-def equalize_data_symbols(cfg: OFDMConfig, x: jnp.ndarray, lock_ptr,
-                          delay_idx, chan_full: jnp.ndarray,
-                          num_patterns: int,
-                          interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for ops.sync.equalize_data_symbols using the fused kernel."""
-    from ..ops import sync as sync_ops
+def data_windows(cfg: OFDMConfig, x: jnp.ndarray, lock_ptr,
+                 num_patterns: int) -> jnp.ndarray:
+    """[K = num_patterns*nd, nfft] data-symbol windows at the lock.
 
-    _, data_bins = used_bins(cfg.nfft, cfg.num_data_bins)
-    data_bins = np.asarray(data_bins)
+    One dynamic slice at the lock + static windows (gather-free — the
+    round-4 de-gather rule; edge padding replicates gather index-clamping).
+    """
     m0, nd = cfg.m_synch, cfg.synch_dat[1]
     block = cfg.pattern_len * cfg.rx_b_len
-
-    # one dynamic slice at the lock + static windows (gather-free — the
-    # round-4 de-gather rule; edge padding replicates gather index-clamping)
     span = ((num_patterns - 1) * block + (m0 + nd - 1) * cfg.rx_b_len +
             cfg.nfft)
     xp = jnp.pad(x, (0, span), mode="edge")
@@ -139,11 +159,29 @@ def equalize_data_symbols(cfg: OFDMConfig, x: jnp.ndarray, lock_ptr,
     rel = (np.arange(num_patterns)[:, None, None] * block +
            (m0 + np.arange(nd))[None, :, None] * cfg.rx_b_len +
            np.arange(cfg.nfft)[None, None, :]).reshape(-1, cfg.nfft)
-    win = seg[jnp.asarray(rel)]                         # [K, nfft]
+    return seg[jnp.asarray(rel)]                        # [K, nfft]
 
+
+def combined_coeff(cfg: OFDMConfig, delay_idx,
+                   chan_full: jnp.ndarray) -> jnp.ndarray:
+    """[B] per-bin derotation x MMSE coefficient for one frame's lock."""
+    from ..ops import sync as sync_ops
+
+    _, data_bins = used_bins(cfg.nfft, cfg.num_data_bins)
+    data_bins = np.asarray(data_bins)
     rot = jnp.exp((1j * 2.0 * jnp.pi / cfg.nfft) *
                   delay_idx.astype(jnp.float32) *
                   jnp.asarray(data_bins, jnp.float32)).astype(jnp.complex64)
-    eq = sync_ops.mmse_gain(chan_full[data_bins], cfg.snr_linear)
-    phasors = demod_windows(cfg, win, rot * eq, interpret)
-    return phasors.reshape(num_patterns * nd, cfg.num_data_bins)
+    return rot * sync_ops.mmse_gain(chan_full[data_bins], cfg.snr_linear)
+
+
+def equalize_data_symbols(cfg: OFDMConfig, x: jnp.ndarray, lock_ptr,
+                          delay_idx, chan_full: jnp.ndarray,
+                          num_patterns: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ops.sync.equalize_data_symbols using the fused kernel."""
+    win = data_windows(cfg, x, lock_ptr, num_patterns)
+    coeff = combined_coeff(cfg, delay_idx, chan_full)
+    phasors = demod_windows(cfg, win, coeff, interpret)
+    return phasors.reshape(num_patterns * cfg.synch_dat[1],
+                           cfg.num_data_bins)

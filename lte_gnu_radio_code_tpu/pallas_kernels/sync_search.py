@@ -159,6 +159,56 @@ def _kernel(tp, n_q, klen_ext, nfft, big_l,
     out_ref[:] = jnp.sqrt(cr * cr + ci * ci) * scale_exp
 
 
+def _kernel_packed(tp, n_q, klen_ext, nfft, big_l,
+                   xr2_ref, xi2_ref, ktr_ref, kti_ref, wn_ref,
+                   gsum2_ref, esel_ref, gexp_ref, out_ref):
+    """_kernel with the normalisation weights PACKED into one matrix
+    wn = [wdc | wny | we] (round 5).  The unpacked form spends 5 MXU dots
+    per contraction step on 1..m0-column operands — each lane-padded to a
+    full 128-wide MXU pass, which at the strided LTE configs (G = m0 = 1)
+    costs MORE tile-ops than the correlation matmul itself.  Packing cuts
+    those 5 dots to 3 (xr, xi, |x|^2 against one [se, 2*G*m0+G] matrix);
+    the per-group unpacking happens in two tiny finish-step dots
+    (gsum2 sums the dc/ny column groups' squared magnitudes, esel selects
+    the energy columns).  Used whenever 2*G*m0+G <= 128 (one lane pass)."""
+    row0 = pl.program_id(0) * tp
+    tpe = tp + -(-n_q // 8) * 8
+    se = ktr_ref.shape[0] // n_q
+    xr_full = xr2_ref[pl.ds(row0, tpe), :]
+    xi_full = xi2_ref[pl.ds(row0, tpe), :]
+    ktr, kti = ktr_ref[:], kti_ref[:]
+    wn = wn_ref[:]
+    ct = ktr.shape[1]
+    wcols = wn.shape[1]
+    cr = jnp.zeros((tp, ct), jnp.float32)
+    ci = jnp.zeros((tp, ct), jnp.float32)
+    nr = jnp.zeros((tp, wcols), jnp.float32)
+    ni = jnp.zeros((tp, wcols), jnp.float32)
+    ne = jnp.zeros((tp, wcols), jnp.float32)
+    for q in range(n_q):
+        xr_q = xr_full[q: q + tp, :]
+        xi_q = xi_full[q: q + tp, :]
+        kr_q, ki_q = ktr[q * se:(q + 1) * se], kti[q * se:(q + 1) * se]
+        cr += (jnp.dot(xr_q, kr_q, preferred_element_type=jnp.float32) -
+               jnp.dot(xi_q, ki_q, preferred_element_type=jnp.float32))
+        ci += (jnp.dot(xr_q, ki_q, preferred_element_type=jnp.float32) +
+               jnp.dot(xi_q, kr_q, preferred_element_type=jnp.float32))
+        wn_q = wn[q * se:(q + 1) * se]
+        nr += jnp.dot(xr_q, wn_q, preferred_element_type=jnp.float32)
+        ni += jnp.dot(xi_q, wn_q, preferred_element_type=jnp.float32)
+        ne += jnp.dot(xr_q * xr_q + xi_q * xi_q, wn_q,
+                      preferred_element_type=jnp.float32)
+    dcny2 = jnp.dot(nr * nr + ni * ni, gsum2_ref[:],
+                    preferred_element_type=jnp.float32)  # [TP, G]
+    e = jnp.dot(ne, esel_ref[:],
+                preferred_element_type=jnp.float32)      # [TP, G]
+    s_pow = nfft * e - dcny2
+    scale = jnp.sqrt(big_l / jnp.maximum(s_pow, 1e-30))
+    scale_exp = jnp.dot(scale, gexp_ref[:],
+                        preferred_element_type=jnp.float32)  # [TP, G*D]
+    out_ref[:] = jnp.sqrt(cr * cr + ci * ci) * scale_exp
+
+
 def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
                   interpret: bool = False) -> jnp.ndarray:
     """|corr| [n_trials, cp+1] — drop-in for ops.fast_sync.sync_corr_abs_fast
@@ -204,6 +254,24 @@ def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     ktr, kti = np.pad(ktr, pad_r), np.pad(kti, pad_r)
     wdc, wny, we = np.pad(wdc, pad_r), np.pad(wny, pad_r), np.pad(we, pad_r)
 
+    # Packed-normalisation mode (round 5): when the combined weight width
+    # fits one MXU lane pass, fuse the 5 per-q normalisation dots into 3
+    # against wn = [wdc | wny | we] (see _kernel_packed).  At the strided
+    # LTE configs (G = m0 = 1: width 3) the unpacked form's lane padding
+    # made normalisation cost as many MXU tile-ops as the correlation.
+    gm0 = g * cfg.m_synch
+    wcols = 2 * gm0 + g
+    packed = wcols <= 128
+    if packed:
+        wn = np.concatenate([wdc, wny, we], axis=1)
+        gsum2 = np.zeros((wcols, g), np.float32)
+        esel = np.zeros((wcols, g), np.float32)
+        for gi in range(g):
+            gsum2[gi * cfg.m_synch:(gi + 1) * cfg.m_synch, gi] = 1.0
+            gsum2[gm0 + gi * cfg.m_synch: gm0 + (gi + 1) * cfg.m_synch,
+                  gi] = 1.0
+            esel[2 * gm0 + gi, gi] = 1.0
+
     # Residual VMEM ceiling: x2 (the sample tile) is still full-resident —
     # rows*se*8 B, <= ~2 MiB for every shipped config/stride at frame scale
     # (the weights were the LTE-scale OOM, now blocked).  Guard the truly
@@ -230,32 +298,46 @@ def sync_corr_abs(cfg: OFDMConfig, x: jnp.ndarray, n_trials: int,
     xp = jnp.pad(x, (0, max(0, need - x.shape[0])))[cfg.cp_len:need]
     x2 = xp.reshape(rows, se)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, tp, n_q, klen_ext, float(cfg.nfft),
-                          float(cfg.m_synch * cfg.num_synch_bins)),
-        grid=(n_tiles, n_ctiles),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * tp, gdp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 + [
-            pl.BlockSpec((n_q * se, ct), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),          # ktr tile
-            pl.BlockSpec((n_q * se, ct), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),          # kti tile
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
-            pl.BlockSpec((g, ct), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),          # gexp tile
-        ],
-        out_specs=pl.BlockSpec((tp, ct), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * tp * klen_ext *
-            (4 * gdp + 6 * n_ctiles * g * cfg.m_synch),
-            bytes_accessed=4 * (2 * rows * se * n_ctiles +
-                                2 * klen_ext * gdp + n_tiles * tp * gdp),
-            transcendentals=0),
-        interpret=interpret,
-    )(x2.real.astype(jnp.float32), x2.imag.astype(jnp.float32),
-      jnp.asarray(ktr), jnp.asarray(kti), jnp.asarray(wdc),
-      jnp.asarray(wny), jnp.asarray(we), jnp.asarray(gsum),
-      jnp.asarray(gexp))
+    cost = pl.CostEstimate(
+        flops=2 * n_tiles * tp * klen_ext *
+        (4 * gdp + (3 if packed else 6) * n_ctiles * g * cfg.m_synch),
+        bytes_accessed=4 * (2 * rows * se * n_ctiles +
+                            2 * klen_ext * gdp + n_tiles * tp * gdp),
+        transcendentals=0)
+    kspec = pl.BlockSpec((n_q * se, ct), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+    gexp_spec = pl.BlockSpec((g, ct), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if packed:
+        out = pl.pallas_call(
+            functools.partial(_kernel_packed, tp, n_q, klen_ext,
+                              float(cfg.nfft),
+                              float(cfg.m_synch * cfg.num_synch_bins)),
+            grid=(n_tiles, n_ctiles),
+            out_shape=jax.ShapeDtypeStruct((n_tiles * tp, gdp), jnp.float32),
+            in_specs=[full] * 2 + [kspec, kspec] + [full] * 3 + [gexp_spec],
+            out_specs=pl.BlockSpec((tp, ct), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x2.real.astype(jnp.float32), x2.imag.astype(jnp.float32),
+          jnp.asarray(ktr), jnp.asarray(kti), jnp.asarray(wn),
+          jnp.asarray(gsum2), jnp.asarray(esel), jnp.asarray(gexp))
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel, tp, n_q, klen_ext, float(cfg.nfft),
+                              float(cfg.m_synch * cfg.num_synch_bins)),
+            grid=(n_tiles, n_ctiles),
+            out_shape=jax.ShapeDtypeStruct((n_tiles * tp, gdp), jnp.float32),
+            in_specs=[full] * 2 + [kspec, kspec] + [full] * 4 + [gexp_spec],
+            out_specs=pl.BlockSpec((tp, ct), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x2.real.astype(jnp.float32), x2.imag.astype(jnp.float32),
+          jnp.asarray(ktr), jnp.asarray(kti), jnp.asarray(wdc),
+          jnp.asarray(wny), jnp.asarray(we), jnp.asarray(gsum),
+          jnp.asarray(gexp))
     # row p', col group g  ->  trial p = g + G*p' = row-major flat index
     return out[:, :gd].reshape(-1, d)[:n_trials]

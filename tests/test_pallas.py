@@ -216,3 +216,33 @@ def test_tx_frames_fused_gridfree_matches_xla():
     out = np.asarray(txofdm.tx_frames(cfg, bits, path="fused"))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_rx_frames_batch_matches_per_frame_pallas():
+    """Whole-batch flattened demod (rx_frames_batch) == vmapped per-frame
+    pallas RX, hard bits identical; BER 0 vs transmitted bits."""
+    from lte_gnu_radio_code_tpu.models import rxofdm
+    cfg = GOLDEN64
+    rng = np.random.default_rng(7)
+    xs, bs = [], []
+    for _ in range(2):
+        bits = rng.integers(0, 2, cfg.num_bits)
+        tx = G.tx_frame(cfg, bits)
+        rx = G.apply_channel(tx, G.channel_taps("Fading"),
+                             max_impulse=cfg.nfft)
+        rx = G.awgn(cfg, rx, rng, np.var(tx))
+        xs.append(rx.astype(np.complex64))
+        bs.append(bits)
+    xs = jnp.asarray(np.stack(xs))
+    n_trials, num_patterns = rxofdm.plan_rx(cfg, xs.shape[1])
+    hard, found, ptr = rxofdm.rx_frames_batch(cfg, xs, n_trials,
+                                              num_patterns)
+    assert bool(np.asarray(found).all())
+    import jax
+    ref = jax.vmap(lambda x: rxofdm.rx_frame(
+        cfg, x, n_trials, num_patterns, fast="pallas",
+        eq="pallas").hard_bits)(xs)
+    np.testing.assert_array_equal(np.asarray(hard), np.asarray(ref))
+    for i in range(2):
+        nb = min(hard.shape[1], len(bs[i]))
+        assert int((np.asarray(hard[i, :nb]) != bs[i][:nb]).sum()) == 0
