@@ -51,15 +51,16 @@ from ..utils.params import OFDMConfig
 
 import os
 
-_MIN_EFF_STRIDE = int(os.environ.get("BENCH_HANKEL_STRIDE", "64"))
+_MIN_EFF_STRIDE = int(os.environ.get("BENCH_HANKEL_STRIDE", "128"))
                         # effective-stride target for the Hankel column
                         # slices: must be a multiple of the 8-sublane
-                        # granularity; raised from 8 in round 4 — deeper
-                        # per-q contraction (32 vs 8) feeds the MXU far
-                        # better for dense stride-1 searches (the
-                        # loopback64 chain's dominant cost).  Env-overridable
-                        # so the batch x stride utilisation curve
-                        # (BASELINE.md round 5) is reproducible.
+                        # granularity; raised from 8 in round 4 and from
+                        # 64 to 128 in round 5 — the measured batch x
+                        # stride curve (BASELINE.md round 5: s128 beats
+                        # s64 at every batch, e.g. 308 vs 269 Msps at
+                        # batch 64) shows the dense stride-1 search wants
+                        # the full 128-lane contraction depth per q.
+                        # Env-overridable so the curve is reproducible.
 
 
 @functools.lru_cache(maxsize=32)

@@ -246,3 +246,20 @@ def test_rx_frames_batch_matches_per_frame_pallas():
     for i in range(2):
         nb = min(hard.shape[1], len(bs[i]))
         assert int((np.asarray(hard[i, :nb]) != bs[i][:nb]).sum()) == 0
+
+
+def test_channel_conv_kernel_matches_shifted_add():
+    """One-pass Pallas channel conv == ops.channel.apply_channel (the
+    shifted-add XLA form), batched, to float32 tolerance."""
+    from lte_gnu_radio_code_tpu.ops import channel as chan_ops
+    from lte_gnu_radio_code_tpu.pallas_kernels import channel_conv
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal((3, 2000)) + 1j * rng.standard_normal((3, 2000))
+         ).astype(np.complex64)
+    h = chan_ops.channel_taps("Fading")
+    ref = np.stack([np.asarray(chan_ops.apply_channel(
+        jnp.asarray(x[i]), h, max_impulse=64)) for i in range(3)])
+    out = np.asarray(channel_conv.apply_channel_frames(
+        jnp.asarray(x), np.asarray(h), 64))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-5)
