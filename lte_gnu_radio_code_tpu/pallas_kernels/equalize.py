@@ -86,6 +86,19 @@ def demod_windows(cfg: OFDMConfig, win: jnp.ndarray, coeff: jnp.ndarray,
     locks/channels; round 5)."""
     k = win.shape[0]
     b = cfg.num_data_bins
+    # per-call row cap: XLA stages the call's planar output pair through
+    # scoped VMEM (see ofdm_mod._max_call_rows) — slab-split big flattened
+    # batches host-side
+    bp0 = -(-b // 128) * 128
+    # 8 MiB budget: the observed staging (~14.9 KB/row at nfft 2048)
+    # covers more than the two outputs, so leave headroom
+    cap = max(256, (8 * 2 ** 20 // (8 * bp0)) // 128 * 128)
+    if k > cap:
+        outs = []
+        for i in range(0, k, cap):
+            c_i = coeff[i: i + cap] if coeff.ndim == 2 else coeff
+            outs.append(demod_windows(cfg, win[i: i + cap], c_i, interpret))
+        return jnp.concatenate(outs)
     vr, vi = _dft_bins_mats(cfg.nfft, b)
     # pad the bin axis to the f32 lane width so column tiles stay aligned
     bp = -(-b // 128) * 128

@@ -205,14 +205,36 @@ def modulate_data_vals(cfg: OFDMConfig, vals: jnp.ndarray, bins,
         wr = np.pad(wr, ((0, kp - k), (0, 0)))
         wi = np.pad(wi, ((0, kp - k), (0, 0)))
         vals = jnp.pad(vals, ((0, 0), (0, kp - k)))
-    tr, ti = _mod_rows_planar(cfg, vals.real, vals.imag, wr, wi, interpret)
+    tr, ti = _split_rows(
+        lambda re, im: _mod_rows_planar(cfg, re, im, wr, wi, interpret),
+        vals.shape[0], cfg.nfft + cfg.cp_len, vals.real, vals.imag)
     return (tr + 1j * ti).astype(jnp.complex64)
+
+
+def _max_call_rows(out_lanes: int) -> int:
+    """Per-call row cap: XLA has been seen staging a pallas call's whole
+    [rows, nfft+cp] f32 planar OUTPUT PAIR through scoped VMEM (17.5-17.8
+    MiB > the 16 MiB limit) despite the row-tiled BlockSpecs — keep each
+    call's two outputs under ~12 MiB combined and split bigger flattened
+    batches into row slabs host-side."""
+    return max(256, (12 * 2 ** 20 // (8 * out_lanes)) // 128 * 128)
+
+
+def _split_rows(fn, total_rows, out_lanes, *arrays):
+    cap = _max_call_rows(out_lanes)
+    if total_rows <= cap:
+        return fn(*arrays)
+    outs = [fn(*(a[i: i + cap] for a in arrays))
+            for i in range(0, total_rows, cap)]
+    return tuple(jnp.concatenate(parts) for parts in zip(*outs))
 
 
 def modulate_rows(cfg: OFDMConfig, grid: jnp.ndarray,
                   interpret: bool = False) -> jnp.ndarray:
     """[S, nfft] complex grid -> [S, nfft+cp] complex time symbols."""
-    tr, ti = modulate_planar(cfg, grid.real, grid.imag, interpret)
+    tr, ti = _split_rows(
+        lambda re, im: modulate_planar(cfg, re, im, interpret),
+        grid.shape[0], cfg.nfft + cfg.cp_len, grid.real, grid.imag)
     return (tr + 1j * ti).astype(jnp.complex64)
 
 
